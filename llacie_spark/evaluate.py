@@ -1,0 +1,141 @@
+"""Evaluation: confusion matrix + metrics over episode×term boolean matrices.
+
+Re-expresses the reference evaluator (``/root/reference/llacie/evaluate.py:
+82-105``) relationally — no pivot to a dense matrix is materialized. The
+semantics being preserved:
+
+- truth = first annotator per episode (evaluate.py:12-19);
+- the universe is (truth episodes) × (all canonical vocab terms) —
+  predictions for episodes outside the truth set are ignored
+  (evaluate.py:96-100), absent cells are False (create_vocab_matrix);
+- predictions count only when ``line_number <= max_line_num`` (the "top N
+  LLM responses" threshold, evaluate.py:92-93; the CLI reports both <=10
+  and unlimited, app.py:223-232).
+
+At scale this is a join + aggregate: TP/FP/FN come from a full outer join of
+two sparse (episode, term) sets; TN is arithmetic (|episodes|*|terms| - the
+rest) — never materialize the dense matrix.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+@dataclass
+class ConfusionCounts:
+    tp: int
+    fp: int
+    fn: int
+    tn: int
+
+    @property
+    def precision(self) -> float:
+        return self.tp / (self.tp + self.fp) if (self.tp + self.fp) else 0.0
+
+    @property
+    def recall(self) -> float:
+        return self.tp / (self.tp + self.fn) if (self.tp + self.fn) else 0.0
+
+    @property
+    def accuracy(self) -> float:
+        total = self.tp + self.fp + self.fn + self.tn
+        return (self.tp + self.tn) / total if total else 0.0
+
+    @property
+    def f1(self) -> float:
+        p, r = self.precision, self.recall
+        return 2 * p * r / (p + r) if (p + r) else 0.0
+
+    @property
+    def specificity(self) -> float:
+        return self.tn / (self.tn + self.fp) if (self.tn + self.fp) else 0.0
+
+    @property
+    def npv(self) -> float:
+        return self.tn / (self.tn + self.fn) if (self.tn + self.fn) else 0.0
+
+    @property
+    def balanced_accuracy(self) -> float:
+        return (self.recall + self.specificity) / 2
+
+    @property
+    def kappa(self) -> float:
+        total = self.tp + self.fp + self.fn + self.tn
+        if not total:
+            return 0.0
+        po = (self.tp + self.tn) / total
+        p_yes = ((self.tp + self.fp) / total) * ((self.tp + self.fn) / total)
+        p_no = ((self.fn + self.tn) / total) * ((self.fp + self.tn) / total)
+        pe = p_yes + p_no
+        return (po - pe) / (1 - pe) if pe != 1 else 0.0
+
+    def report(self) -> str:
+        return (
+            "                           Ground truth labels\n"
+            "                           Present     Absent\n"
+            f"{'Predicted label present':23} {self.tp:>10} {self.fp:>10}\n"
+            f"{'Predicted label absent':23} {self.fn:>10} {self.tn:>10}\n"
+            "--------------------------- Metric -------------\n"
+            f"{'Accuracy':23} {self.accuracy:10.4f}\n"
+            f"{'Balanced accuracy':23} {self.balanced_accuracy:10.4f}\n"
+            f"{'F1 score':23} {self.f1:10.4f}\n"
+            f"{'Precision aka PPV':23} {self.precision:10.4f}\n"
+            f"{'Recall aka sensitivity':23} {self.recall:10.4f}\n"
+            f"{'Specificity':23} {self.specificity:10.4f}\n"
+            f"{'NPV':23} {self.npv:10.4f}\n"
+            f"{'Cohen kappa':23} {self.kappa:10.4f}"
+        )
+
+
+def first_annotator_labels(gold: DataFrame) -> DataFrame:
+    """Keep only the first annotator's rows per episode (evaluate.py:12-19).
+    'First' is made deterministic by ordering on annotator name."""
+    w = Window.partitionBy("episode_id").orderBy("annotator")
+    return (
+        gold.withColumn("_first", F.first("annotator").over(w))
+        .where(F.col("annotator") == F.col("_first"))
+        .drop("_first")
+    )
+
+
+def confusion_counts(
+    triples: DataFrame,
+    gold: DataFrame,
+    n_terms: int,
+    max_line_num: int | None = 10,
+) -> ConfusionCounts:
+    """Sparse episode×term confusion counts.
+
+    ``triples`` needs (episode_id, label_name, line_number); ``gold`` needs
+    (episode_id, label_name, annotator). ``n_terms`` is the canonical
+    vocabulary size (the matrix width, create_vocab_matrix semantics).
+    """
+    truth = first_annotator_labels(gold).select("episode_id", "label_name").distinct()
+    truth_eps = truth.select("episode_id").distinct()
+
+    pred = triples
+    if max_line_num is not None:
+        pred = pred.where(F.col("line_number") <= max_line_num)
+    # predictions only count inside the truth episode universe (J10 semantics)
+    pred = (
+        pred.select("episode_id", "label_name")
+        .distinct()
+        .join(truth_eps, "episode_id", "left_semi")
+    )
+
+    joined = truth.withColumn("t", F.lit(1)).join(
+        pred.withColumn("p", F.lit(1)), ["episode_id", "label_name"], "full_outer"
+    )
+    agg = joined.agg(
+        F.sum(F.when(F.col("t").isNotNull() & F.col("p").isNotNull(), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("t").isNull() & F.col("p").isNotNull(), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("t").isNotNull() & F.col("p").isNull(), 1).otherwise(0)).alias("fn"),
+    ).collect()[0]
+    n_eps = truth_eps.count()
+    tn = n_eps * n_terms - agg.tp - agg.fp - agg.fn
+    return ConfusionCounts(tp=agg.tp or 0, fp=agg.fp or 0, fn=agg.fn or 0, tn=tn)

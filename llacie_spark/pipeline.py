@@ -1,0 +1,237 @@
+"""The staged KG-construction pipeline: documents → sections → mentions →
+triples, as pure ``DataFrame -> DataFrame`` functions.
+
+Reference lifecycle being re-expressed (SURVEY.md §3): ``llacie sections
+extract -s regex`` → ``llacie features extract`` → ``llacie episode-labels
+extract -s pres_sx_eplab2`` (``/root/reference/llacie/app.py:135-220``). The
+reference runs these as driver loops over Postgres batches + Slurm fan-out;
+here each stage is one Spark job:
+
+- every heavy text transform is a scalar Arrow-batched pandas UDF over a
+  single projected column — all other columns (including the ``spans``
+  payload with media refs) never leave the JVM;
+- the vocabulary is broadcast once per job (``llacie/vocab.py:55-74``'s
+  pickle cache analog);
+- lineage + metrics columns (stage, strategy, version, partition, runtime
+  share, timestamp) are appended to every output, the analog of
+  ``FK_strategy_id``/``strategy_runtime``/``feature_updated``
+  (``llacie/sql/schema.sql:106-110``);
+- the span-sequence invariant: every stage output keeps (or can re-join by
+  doc_id to) the input ``spans`` column untouched; ``spans_fingerprint``
+  gives a cheap JVM-side equality check.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .operators.sections import clean_note_text, extract_short_hpi
+from .schemas import PRED_HAS_SYMPTOM
+from .scorer import GazetteerScorer
+from .vocab import Vocab
+
+SECS_IN_24H = 86400  # reference pres_sx_eplab2/__init__.py:7
+
+
+def spans_fingerprint(spans_col: str = "spans") -> Column:
+    """Order-sensitive hash of (kind, text, media_ref) in offset order —
+    the per-row span-sequence invariant as one comparable value."""
+    ordered = F.array_sort(
+        F.col(spans_col),
+        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+        .when(a["offset"] > b["offset"], 1)
+        .otherwise(0),
+    )
+    return F.xxhash64(
+        F.array_join(
+            F.transform(
+                ordered, lambda s: F.concat_ws("\x1f", s["kind"], s["text"], s["media_ref"])
+            ),
+            "\x1e",
+        )
+    )
+
+
+def with_lineage(df: DataFrame, stage: str, strategy: str, version: str) -> DataFrame:
+    return (
+        df.withColumn("stage", F.lit(stage))
+        .withColumn("strategy", F.lit(strategy))
+        .withColumn("strategy_version", F.lit(version))
+        .withColumn("partition_id", F.spark_partition_id())
+        .withColumn("updated_at", F.current_timestamp())
+    )
+
+
+# --------------------------------------------------------------------------
+# stage 1: section extraction (reference stage 2, regex strategy)
+# --------------------------------------------------------------------------
+
+
+def extract_sections(documents_with_text: DataFrame) -> DataFrame:
+    """(doc_id, spans, note_text) -> + section_text (short HPI), lineage.
+
+    One scalar pandas UDF over note_text; Python regex semantics are kept
+    deliberately (SURVEY.md §7.3 — the verbose HPI patterns don't map 1:1 to
+    Java regex). Null section_text = extraction failure (counted, kept, so
+    the anti-join resume can retry them — reference regex.py:118-122).
+    """
+
+    @F.pandas_udf(T.StringType())
+    def hpi_udf(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            hpi = extract_short_hpi(clean_note_text(t))
+            return hpi if hpi else None
+
+        return texts.map(one)
+
+    out = documents_with_text.withColumn("section_text", hpi_udf("note_text"))
+    return with_lineage(out, "sections", "section.hpi_short.regex", "1.0.0")
+
+
+# --------------------------------------------------------------------------
+# stage 2: mention extraction (reference stage 3, batched scorer)
+# --------------------------------------------------------------------------
+
+
+def extract_mentions(sections: DataFrame, vocab: Vocab, scorer=None) -> DataFrame:
+    """+ mentions array<string> — the feature_value as a real array
+    (SURVEY.md §1.3) instead of the reference's newline-joined TEXT cell.
+
+    The scorer runs as a scalar Arrow-batched pandas UDF: one Python hop,
+    input = the section column only. A custom (LLM) scorer object may be
+    injected; it is constructed once per executor task, mirroring the
+    one-engine-per-worker design.
+    """
+    vocab_dicts = vocab.ngram_dicts  # tiny; serialized into the UDF closure
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def scorer_udf(texts: pd.Series) -> pd.Series:
+        local_vocab = Vocab(ngram_dicts=vocab_dicts)
+        s = scorer or GazetteerScorer(canonicalize=local_vocab.find_terms)
+        return pd.Series(s.score_batch(texts.tolist()))
+
+    out = sections.withColumn("mentions", scorer_udf("section_text"))
+    return with_lineage(out, "mentions", "feature.presenting_sx.gazetteer", "2.0.0")
+
+
+# --------------------------------------------------------------------------
+# stage 3: entity linking + episode labeling (reference stage 4)
+# --------------------------------------------------------------------------
+
+
+def link_mentions(mentions_df: DataFrame, vocab: Vocab) -> DataFrame:
+    """mentions -> exploded (label_name, line_number) pairs per doc.
+
+    Greedy longest-n-gram-first matching with earliest-line-wins semantics
+    (``llacie/vocab.py:100-121``), broadcast-dictionary pandas UDF form.
+    ``operators/linking.py`` holds the equivalent relational (salted
+    broadcast-join) form; both are property-tested equal.
+    """
+    vocab_dicts = vocab.ngram_dicts
+
+    match_type = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("label_name", T.StringType(), False),
+                T.StructField("line_number", T.LongType(), False),
+            ]
+        )
+    )
+
+    @F.pandas_udf(match_type)
+    def match_udf(mentions: pd.Series) -> pd.Series:
+        local_vocab = Vocab(ngram_dicts=vocab_dicts)
+
+        def one(ms):
+            if ms is None or len(ms) == 0:
+                return []
+            found = local_vocab.find_terms("\n".join(ms))
+            return [(term, line) for term, line in found.items()]
+
+        return mentions.map(one)
+
+    return mentions_df.withColumn("matches", match_udf("mentions"))
+
+
+def episode_triples(
+    linked: DataFrame,
+    doc_meta: DataFrame,
+    time_limit_s: int = SECS_IN_24H,
+) -> DataFrame:
+    """Collapse per-note matches into per-episode (subj, pred, obj) triples.
+
+    Reference semantics (``llacie/db.py:237-275`` + pres_sx_eplab2): among an
+    episode's qualifying notes (cohort flags pass, service within 24 h of
+    episode start — filters F2/F4), take the *earliest* note that produced
+    features (argmin join J4, Postgres ``DISTINCT ON`` ≡ rank-1 window), and
+    emit one triple per matched term with the earliest mention line number.
+
+    Scale notes: the join to doc_meta is broadcast when small / shuffle-hash
+    otherwise on doc_id; the argmin window shuffles once on episode_id —
+    the same shuffle the subsequent per-episode grouping needs, so Catalyst
+    reuses the exchange. AQE handles episode skew.
+    """
+    from pyspark.sql.window import Window
+
+    qualifying = (
+        linked.join(doc_meta, "doc_id")
+        .where(F.col("infection_criteria") & ~F.col("excl_st0_combined"))  # F2
+        .where(F.col("note_type") == "H&P")  # F1
+        .where(
+            F.unix_timestamp("date_of_service_ts") - F.unix_timestamp("episode_start_ts")
+            < F.lit(time_limit_s)
+        )  # F4
+        .where(F.size("matches") > 0)
+    )
+    w = Window.partitionBy("episode_id").orderBy(
+        (F.unix_timestamp("date_of_service_ts") - F.unix_timestamp("episode_start_ts")).asc(),
+        F.col("doc_id").asc(),  # deterministic tie-break
+    )
+    earliest = qualifying.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+
+    triples = earliest.select(
+        "episode_id",
+        "doc_id",
+        F.lit(PRED_HAS_SYMPTOM).alias("pred"),
+        F.explode("matches").alias("m"),
+        "spans",
+    ).select(
+        "episode_id",
+        "doc_id",
+        "pred",
+        F.col("m.label_name").alias("label_name"),
+        F.lit(1.0).alias("label_value"),  # constant in the reference (db.py:747)
+        F.col("m.line_number").alias("line_number"),
+        "spans",
+    )
+    return with_lineage(triples, "triples", "episode_label.pres_sx_eplab2", "1.0.0")
+
+
+# --------------------------------------------------------------------------
+# end-to-end
+# --------------------------------------------------------------------------
+
+
+def run_pipeline(
+    documents: DataFrame,
+    doc_meta: DataFrame,
+    vocab: Vocab,
+    scorer=None,
+) -> DataFrame:
+    """documents + doc_meta -> triples, all four stages fused in one plan.
+
+    When stages are checkpointed individually (resume support), use
+    ``io.write_stage`` between calls instead.
+    """
+    from .corpus import assemble_text
+
+    with_text = assemble_text(documents)
+    sections = extract_sections(with_text)
+    mentions = extract_mentions(sections, vocab, scorer=scorer)
+    linked = link_mentions(mentions, vocab)
+    return episode_triples(linked, doc_meta)

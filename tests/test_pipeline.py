@@ -1,0 +1,152 @@
+"""End-to-end Spark pipeline: documents -> triples, span invariant, P/R gate.
+
+Mirrors the reference quickstart chain (tests/integration/test_quickstart.py):
+100 notes -> 100 sections -> features -> episode labels -> evaluate, minus the
+live LLM (deterministic gazetteer scorer instead, like the SKIPTO fixture).
+"""
+
+import pytest
+
+from llacie_spark.corpus import assemble_text, reference_doc_meta, reference_documents
+from llacie_spark.evaluate import confusion_counts, first_annotator_labels
+from llacie_spark.pipeline import (
+    episode_triples,
+    extract_mentions,
+    extract_sections,
+    link_mentions,
+    run_pipeline,
+    spans_fingerprint,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return reference_documents(spark).cache()
+
+
+@pytest.fixture(scope="module")
+def meta(spark):
+    return reference_doc_meta(spark).cache()
+
+
+@pytest.fixture(scope="module")
+def triples(spark, docs, meta, vocab):
+    return run_pipeline(docs, meta, vocab).cache()
+
+
+@pytest.fixture(scope="module")
+def gold_df(spark, gold_rows):
+    rows = [
+        (g["episode_id"], lbl, "annotator1") for g in gold_rows for lbl in g["labels"]
+    ]
+    return spark.createDataFrame(rows, "episode_id long, label_name string, annotator string")
+
+
+def test_documents_shape(docs):
+    assert docs.count() == 100
+    row = docs.first()
+    kinds = {s["kind"] for s in row["spans"]}
+    assert kinds <= {"text", "media"}
+    offsets = [s["offset"] for s in sorted(row["spans"], key=lambda s: s["offset"])]
+    assert offsets == list(range(len(offsets)))  # strictly increasing from 0
+
+
+def test_sections_extracted_for_all_docs(docs, vocab):
+    sec = extract_sections(assemble_text(docs))
+    assert sec.where("section_text is not null").count() == 100
+
+
+def test_triples_emitted(triples):
+    assert triples.count() > 0
+    cols = set(triples.columns)
+    assert {"episode_id", "doc_id", "pred", "label_name", "label_value",
+            "line_number", "spans", "stage", "strategy", "strategy_version",
+            "partition_id", "updated_at"} <= cols
+    assert triples.where("pred != 'has_presenting_symptom'").count() == 0
+    assert triples.where("label_value != 1.0").count() == 0
+
+
+def test_span_sequence_invariant(docs, triples):
+    """Per-row span-sequence equality (kind, text, media_ref, order) is
+    preserved through every stage (BASELINE.json input_hint)."""
+    fin = docs.select("doc_id", spans_fingerprint().alias("fp_in"))
+    fout = triples.select("doc_id", spans_fingerprint().alias("fp_out")).distinct()
+    joined = fin.join(fout, "doc_id")
+    assert joined.count() > 0
+    assert joined.where("fp_in != fp_out").count() == 0
+
+
+def test_precision_recall_gate_spark(triples, gold_df, vocab):
+    cc = confusion_counts(triples, gold_df, n_terms=len(vocab), max_line_num=10)
+    assert cc.precision >= 0.95, cc.report()
+    assert cc.recall >= 0.95, cc.report()
+    # unlimited threshold matches (mention budget <= 10 lines)
+    cc_all = confusion_counts(triples, gold_df, n_terms=len(vocab), max_line_num=None)
+    assert (cc_all.tp, cc_all.fp, cc_all.fn) == (cc.tp, cc.fp, cc.fn)
+
+
+def test_first_annotator_filter(spark):
+    df = spark.createDataFrame(
+        [(1, "fever", "b"), (1, "chills", "a"), (2, "cough", "c")],
+        "episode_id long, label_name string, annotator string",
+    )
+    out = first_annotator_labels(df).collect()
+    assert {(r.episode_id, r.label_name) for r in out} == {(1, "chills"), (2, "cough")}
+
+
+def test_cohort_and_time_filters(spark, docs, vocab):
+    """F1/F2/F4 predicates drop non-H&P, excluded-cohort, and >24h notes."""
+    from pyspark.sql import functions as F
+
+    meta = reference_doc_meta(spark)
+    meta = meta.withColumn(
+        "note_type", F.when(F.col("episode_id") == 1, "Progress").otherwise(F.col("note_type"))
+    ).withColumn(
+        "infection_criteria", F.when(F.col("episode_id") == 2, False).otherwise(True)
+    ).withColumn(
+        "date_of_service_ts",
+        F.when(
+            F.col("episode_id") == 3, F.to_timestamp(F.lit("3000-01-03 00:00:00"))
+        ).otherwise(F.col("date_of_service_ts")),
+    )
+    triples = run_pipeline(docs, meta, vocab)
+    eps = {r.episode_id for r in triples.select("episode_id").distinct().collect()}
+    assert 1 not in eps and 2 not in eps and 3 not in eps
+    assert 4 in eps
+
+
+def test_argmin_join_picks_earliest_note(spark, vocab):
+    """Two qualifying notes in one episode -> labels come from the earlier."""
+    from pyspark.sql import functions as F
+
+    from llacie_spark.schemas import DOC_META, DOCUMENTS
+
+    def doc(doc_id, text):
+        return (doc_id, [{"kind": "text", "text": text, "media_ref": "", "offset": 0}])
+
+    docs = spark.createDataFrame(
+        [
+            doc("d1", "HPI: patient reports fever.\nROS: negative"),
+            doc("d2", "HPI: patient reports chills.\nROS: negative"),
+        ],
+        DOCUMENTS,
+    )
+    meta = spark.createDataFrame(
+        [
+            ("d1", 1, "p1", "H&P", None, None, True, False),
+            ("d2", 1, "p1", "H&P", None, None, True, False),
+        ],
+        DOC_META,
+    )
+    meta = meta.withColumn(
+        "episode_start_ts", F.to_timestamp(F.lit("3000-01-01 00:00:00"))
+    ).withColumn(
+        "date_of_service_ts",
+        F.when(F.col("doc_id") == "d2", F.to_timestamp(F.lit("3000-01-01 01:00:00"))).otherwise(
+            F.to_timestamp(F.lit("3000-01-01 05:00:00"))
+        ),
+    )
+    triples = run_pipeline(docs, meta, vocab)
+    rows = triples.select("doc_id", "label_name").collect()
+    assert {r.doc_id for r in rows} == {"d2"}  # earlier note wins
+    assert {r.label_name for r in rows} == {"chills"}
