@@ -1,38 +1,586 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship document-enrichment query at sf0.001.
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 (+ the training-data operators); ``oracle_sql()`` gives the
+DuckDB-equivalent ANSI SQL. Column names and types are aligned on both sides
+(explicit casts + 4-decimal rounding on floats) because the driver compares
+order-insensitive value hashes.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from llacie_spark.operators import dedup, similarity, textstats  # noqa: E402
+
+DEFAULT_SF = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: document enrichment — token stats, quality, language guess,
+    dedup fingerprint — the front half of a training-data pipeline."""
+    return _q_doc_enrich(spark, DEFAULT_SF)
+
+
+# ---------------------------------------------------------------- queries
+
+
+def _q_pricing_summary(spark, sf):
+    # A4/A6-style aggregation push-down showcase (TPC-H Q1 shape)
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def _q_argmin_join(spark, sf):
+    # J4/W2: earliest order per customer (Postgres DISTINCT ON ≡ rank-1 window)
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            F.col("o_custkey").cast("long").alias("custkey"),
+            F.col("o_orderkey").cast("long").alias("first_orderkey"),
+            F.col("o_orderdate").alias("first_orderdate"),
+        )
+    )
+
+
+def _q_anti_join(spark, sf):
+    # J1-J3: incremental work discovery — rows with no output yet
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").cast("long").alias("custkey"), F.col("c_name").alias("name")
+    )
+
+
+def _q_semi_join(spark, sf):
+    # J5/J7: customers having at least one open order
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where("o_orderstatus = 'O'")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.col("c_custkey").cast("long").alias("custkey"), F.col("c_mktsegment").alias("mktsegment")
+    )
+
+
+def _q_keep_last(spark, sf):
+    # W3: keep-last dedup — latest event per user
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_id").cast("long").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+        )
+    )
+
+
+def _q_window_max(spark, sf):
+    # W1: latest-version rows per key (max-over-partition filter)
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    return (
+        li.withColumn("max_ship", F.max("l_shipdate").over(w))
+        .where(F.col("l_shipdate") == F.col("max_ship"))
+        .select(
+            F.col("l_orderkey").cast("long").alias("orderkey"),
+            F.col("l_linenumber").cast("long").alias("linenumber"),
+            F.col("l_shipdate").alias("shipdate"),
+        )
+    )
+
+
+def _q_group_concat(spark, sf):
+    # A1: ordered group-concat (note-line reassembly pattern, edw.py:120-123)
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ",",
+            ).alias("timeline")
+        )
+    )
+
+
+def _q_pivot(spark, sf):
+    # A3: boolean/count matrix via conditional aggregation
+    e = _t(spark, sf, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("long").alias(f"n_{t}")
+        for t in ["click", "view", "purchase", "signup", "error"]
+    ]
+    return e.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(*aggs)
+
+
+def _q_time_window(spark, sf):
+    # F4: the 24-hour window predicate (epoch arithmetic, db.py:258-270)
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id")
+    return (
+        e.withColumn("first_ts", F.min("ts").over(w))
+        .where(F.unix_timestamp("ts") - F.unix_timestamp("first_ts") < 86400)
+        .groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(F.count("*").cast("long").alias("n_events_24h"))
+    )
+
+
+def _q_topk(spark, sf):
+    # O2/O4: top-k by aggregate
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+        .limit(10)
+        .select(F.col("o_custkey").cast("long").alias("custkey"), "revenue")
+    )
+
+
+def _q_star_join(spark, sf):
+    # J8/J9: star-schema join with broadcast dims
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+
+
+def _q_distinct(spark, sf):
+    # A5: distinct-scan + counts
+    e = _t(spark, sf, "events")
+    return e.groupBy(F.col("event_type").alias("event_type")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+def _q_intersect(spark, sf):
+    # J6: id-set intersection via double semi-join
+    e = _t(spark, sf, "events")
+    buyers = e.where("event_type = 'purchase'").select("user_id").distinct()
+    erring = e.where("event_type = 'error'").select("user_id").distinct()
+    return buyers.join(erring, "user_id", "left_semi").select(
+        F.col("user_id").cast("long").alias("user_id")
+    )
+
+
+def _q_token_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        textstats.token_count("text").cast("long").alias("n_tokens"),
+        textstats.char_count("text").cast("long").alias("n_chars"),
+        F.round(textstats.avg_token_len("text"), 4).alias("avg_token_len"),
+        F.round(textstats.punct_ratio("text"), 4).alias("punct_ratio"),
+    )
+
+
+def _q_lang_guess(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        textstats.lang_guess("text").alias("lang_pred"),
+    )
+
+
+def _q_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(textstats.quality_score("text"), 4).alias("quality"),
+    )
+
+
+def _q_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        textstats.fingerprint("text").alias("fp"),
+    )
+
+
+def _q_exact_dups(spark, sf):
+    d = _t(spark, sf, "documents")
+    groups = dedup.exact_duplicate_groups(d, "doc_id", "text")
+    return groups.select("fp", F.explode("doc_ids").alias("doc_id")).select(
+        "fp", F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
+def _q_jaccard_pairs(spark, sf):
+    d = _t(spark, sf, "documents")
+    pairs = dedup.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    return pairs.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
+def _q_minhash_dedup(spark, sf):
+    d = _t(spark, sf, "documents")
+    pairs = dedup.minhash_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    return pairs.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
+def _q_simhash_pairs(spark, sf):
+    d = _t(spark, sf, "documents")
+    pairs = dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3)
+    return pairs.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def _q_knn_bruteforce(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where("vec_id < 10")
+    out = similarity.brute_force_topk(queries, emb, k=10)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cos", 4).alias("cos"),
+    )
+
+
+def _q_embed_stats(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return (
+        emb.groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg(similarity.norm(F.col("embedding"))), 4).alias("avg_norm"),
+        )
+    )
+
+
+def _q_doc_enrich(spark, sf):
+    # flagship: enrichment = stats + quality + language + dedup fingerprint
+    d = _t(spark, sf, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        textstats.token_count("text").cast("long").alias("n_tokens"),
+        F.round(textstats.quality_score("text"), 4).alias("quality"),
+        textstats.lang_guess("text").alias("lang_pred"),
+        textstats.fingerprint("text").alias("fp"),
+    )
+
+
+def _q_kg_triples(spark, sf):
+    """The clinical KG pipeline end-to-end on the bundled 100-note corpus
+    (not SQL-expressible — driver records a rows-only check)."""
+    from llacie_spark.corpus import reference_doc_meta, reference_documents
+    from llacie_spark.pipeline import run_pipeline
+    from llacie_spark.vocab import Vocab
+
+    vocab = Vocab.from_csv(str(REPO / "fixtures/vocab_pres_sx_v2.csv"))
+    docs = reference_documents(spark, str(REPO / "fixtures/admission-100.txt"))
+    meta = reference_doc_meta(spark)
+    return run_pipeline(docs, meta, vocab).select(
+        "episode_id", "doc_id", "pred", "label_name", "line_number"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": _q_pricing_summary,
+        "argmin_join": _q_argmin_join,
+        "anti_join": _q_anti_join,
+        "semi_join": _q_semi_join,
+        "keep_last": _q_keep_last,
+        "window_max": _q_window_max,
+        "group_concat": _q_group_concat,
+        "pivot": _q_pivot,
+        "time_window": _q_time_window,
+        "topk": _q_topk,
+        "star_join": _q_star_join,
+        "distinct_counts": _q_distinct,
+        "intersect": _q_intersect,
+        "token_stats": _q_token_stats,
+        "lang_guess": _q_lang_guess,
+        "quality_score": _q_quality,
+        "fingerprint": _q_fingerprint,
+        "exact_dups": _q_exact_dups,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_pairs": _q_simhash_pairs,
+        "knn_bruteforce": _q_knn_bruteforce,
+        "embed_stats": _q_embed_stats,
+        "doc_enrich": _q_doc_enrich,
+        "kg_triples": _q_kg_triples,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+_SHINGLES_CTE = f"""
+docs as (select doc_id, string_split({_NORM}, ' ') as toks from documents),
+eligible as (select doc_id, toks from docs where len(toks) >= 3),
+idx as (select doc_id, toks, unnest(generate_series(1, len(toks)-2)) as i from eligible),
+sh as (select distinct doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] as shingle from idx),
+sizes as (select doc_id, count(*) as sz from sh group by doc_id)
+"""
+
+_JACCARD_SQL = f"""
+with {_SHINGLES_CTE},
+common as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as c
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2)
+select cast(doc_a as bigint) as doc_a, cast(doc_b as bigint) as doc_b,
+       round(c * 1.0 / (sa.sz + sb.sz - c), 4) as jaccard
+from common
+join sizes sa on common.doc_a = sa.doc_id
+join sizes sb on common.doc_b = sb.doc_id
+where c * 1.0 / (sa.sz + sb.sz - c) >= 0.8
+"""
+
+_LANG_MARKERS_SQL = {
+    lang: "list_value(" + ", ".join(f"'{w}'" for w in ws) + ")"
+    for lang, ws in textstats.LANG_MARKERS.items()
+    if ws
+}
+
+
+def _lang_case_sql() -> str:
+    toks = "string_split(trim(text), ' ')"  # matches F.split(trim, '\\s+') on single-spaced text
+    hits = {
+        lang: f"len(list_filter({toks}, t -> list_contains({lst}, t)))"
+        for lang, lst in _LANG_MARKERS_SQL.items()
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    whens = "".join(
+        f" when {best} > 0 and {hits[lang]} = {best} then '{lang}'"
+        for lang in ["en", "de", "es", "fr"]
+    )
+    return f"case when regexp_matches(text, '[一-鿿]') then 'zh'{whens} else 'und' end"
+
+
+def _lang_guess_sql() -> str:
+    return (
+        "select cast(doc_id as bigint) as doc_id, "
+        f"{_lang_case_sql()} as lang_pred from documents"
+    )
+
+
+_QUALITY_EXPR = (
+    "(cast(case when length(text) between 64 and 100000 then 0.4 else 0.0 end as double)"
+    " + cast(case when length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0"
+    "   / greatest(length(text), 1) <= 0.2 then 0.3 else 0.0 end as double)"
+    " + cast(case when len(list_filter(string_split(trim(text), ' '),"
+    "   t -> list_contains(list_value('the','and','of','is','to'), t))) * 1.0"
+    "   / greatest(len(string_split(trim(text), ' ')), 1) >= 0.01 then 0.3 else 0.0 end as double))"
+)
+
+
+def _knn_sql(approx: bool = False) -> str:
+    cos = (
+        "list_dot_product(q.embedding, c.embedding) / "
+        "(sqrt(list_dot_product(q.embedding, q.embedding)) * "
+        "sqrt(list_dot_product(c.embedding, c.embedding)))"
+    )
+    return f"""
+with scored as (
+  select q.vec_id as query_id, c.vec_id as neighbor_id, {cos} as cos
+  from embeddings q, embeddings c
+  where q.vec_id < 10 and q.vec_id != c.vec_id),
+ranked as (
+  select query_id, neighbor_id, cos,
+         row_number() over (partition by query_id order by cos desc, neighbor_id asc) as rank
+  from scored)
+select cast(query_id as bigint) as query_id, cast(neighbor_id as bigint) as neighbor_id,
+       cast(rank as bigint) as rank, round(cos, 4) as cos
+from ranked where rank <= 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) as sum_qty,
+                   round(sum(l_extendedprice), 4) as sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) as sum_disc_price,
+                   round(avg(l_discount), 4) as avg_disc,
+                   cast(count(*) as bigint) as count_order
+            from lineitem where l_shipdate <= timestamp '1998-09-02'
+            group by l_returnflag, l_linestatus
+        """,
+        "argmin_join": """
+            select cast(o_custkey as bigint) as custkey,
+                   cast(o_orderkey as bigint) as first_orderkey,
+                   o_orderdate as first_orderdate
+            from (select *, row_number() over (partition by o_custkey
+                    order by o_orderdate asc, o_orderkey asc) as rn from orders)
+            where rn = 1
+        """,
+        "anti_join": """
+            select cast(c_custkey as bigint) as custkey, c_name as name
+            from customer where c_custkey not in (select o_custkey from orders)
+        """,
+        "semi_join": """
+            select cast(c_custkey as bigint) as custkey, c_mktsegment as mktsegment
+            from customer where c_custkey in
+              (select o_custkey from orders where o_orderstatus = 'O')
+        """,
+        "keep_last": """
+            select cast(user_id as bigint) as user_id,
+                   cast(event_id as bigint) as last_event_id,
+                   event_type as last_event_type
+            from (select *, row_number() over (partition by user_id
+                    order by ts desc, event_id desc) as rn from events)
+            where rn = 1
+        """,
+        "window_max": """
+            select cast(l_orderkey as bigint) as orderkey,
+                   cast(l_linenumber as bigint) as linenumber,
+                   l_shipdate as shipdate
+            from (select *, max(l_shipdate) over (partition by l_orderkey) as mx from lineitem)
+            where l_shipdate = mx
+        """,
+        "group_concat": """
+            select cast(user_id as bigint) as user_id,
+                   string_agg(event_type, ',' order by ts, event_id) as timeline
+            from events group by user_id
+        """,
+        "pivot": """
+            select cast(user_id as bigint) as user_id,
+                   cast(sum(case when event_type = 'click' then 1 else 0 end) as bigint) as n_click,
+                   cast(sum(case when event_type = 'view' then 1 else 0 end) as bigint) as n_view,
+                   cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) as n_purchase,
+                   cast(sum(case when event_type = 'signup' then 1 else 0 end) as bigint) as n_signup,
+                   cast(sum(case when event_type = 'error' then 1 else 0 end) as bigint) as n_error
+            from events group by user_id
+        """,
+        "time_window": """
+            select cast(user_id as bigint) as user_id,
+                   cast(count(*) as bigint) as n_events_24h
+            from (select *, min(ts) over (partition by user_id) as first_ts from events)
+            where epoch(ts) - epoch(first_ts) < 86400
+            group by user_id
+        """,
+        "topk": """
+            select cast(o_custkey as bigint) as custkey,
+                   round(sum(o_totalprice), 4) as revenue
+            from orders group by o_custkey
+            order by revenue desc, custkey asc limit 10
+        """,
+        "star_join": """
+            select r_name as region, n_name as nation,
+                   round(sum(o_totalprice), 4) as revenue,
+                   cast(count(*) as bigint) as n_orders
+            from orders
+            join customer on o_custkey = c_custkey
+            join nation on c_nationkey = n_nationkey
+            join region on n_regionkey = r_regionkey
+            group by r_name, n_name
+        """,
+        "distinct_counts": """
+            select event_type, cast(count(*) as bigint) as n,
+                   cast(count(distinct user_id) as bigint) as n_users
+            from events group by event_type
+        """,
+        "intersect": """
+            select cast(user_id as bigint) as user_id from events where event_type = 'purchase'
+            intersect
+            select cast(user_id as bigint) as user_id from events where event_type = 'error'
+        """,
+        "token_stats": """
+            select cast(doc_id as bigint) as doc_id,
+                   cast(len(string_split(trim(text), ' ')) as bigint) as n_tokens,
+                   cast(length(text) as bigint) as n_chars,
+                   round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                         / len(string_split(trim(text), ' ')), 4) as avg_token_len,
+                   round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+                         / greatest(length(text), 1), 4) as punct_ratio
+            from documents
+        """,
+        "lang_guess": _lang_guess_sql(),
+        "quality_score": f"""
+            select cast(doc_id as bigint) as doc_id, round({_QUALITY_EXPR}, 4) as quality
+            from documents
+        """,
+        "fingerprint": f"""
+            select cast(doc_id as bigint) as doc_id, md5({_NORM}) as fp from documents
+        """,
+        "exact_dups": f"""
+            with fps as (select doc_id, md5({_NORM}) as fp from documents),
+            dups as (select fp from fps group by fp having count(*) > 1)
+            select fps.fp as fp, cast(doc_id as bigint) as doc_id
+            from fps join dups on fps.fp = dups.fp
+        """,
+        "jaccard_pairs": _JACCARD_SQL,
+        "minhash_dedup": _JACCARD_SQL,  # LSH+verify must equal exact at this scale
+        "knn_bruteforce": _knn_sql(),
+        "embed_stats": """
+            select cast(label as bigint) as label, cast(count(*) as bigint) as n,
+                   round(avg(sqrt(list_dot_product(embedding, embedding))), 4) as avg_norm
+            from embeddings group by label
+        """,
+        "doc_enrich": f"""
+            select cast(doc_id as bigint) as doc_id,
+                   cast(len(string_split(trim(text), ' ')) as bigint) as n_tokens,
+                   round({_QUALITY_EXPR}, 4) as quality,
+                   {_lang_case_sql()} as lang_pred,
+                   md5({_NORM}) as fp
+            from documents
+        """,
+        # simhash_pairs, kg_triples: not SQL-expressible → rows-only checks
+    }

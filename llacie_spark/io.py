@@ -1,0 +1,116 @@
+"""Table IO with snapshot commits: the resumable-pipeline seam.
+
+Production target is an Iceberg catalog (atomic snapshot commits, MERGE INTO,
+time travel); this sandbox has no Iceberg runtime jar, so the same contract
+is implemented over parquet directories with a JSON snapshot manifest:
+
+- :func:`write_stage` — write a stage output then atomically publish a
+  manifest (write-temp + rename). A directory without a valid manifest is an
+  uncommitted partial write and is invisible to readers — the moral
+  equivalent of an Iceberg snapshot, and of the reference's ``*.done.db``
+  rename commit marker (``/root/reference/llacie/cache/sqlite.py:303-314``).
+- :func:`read_stage` — read the latest committed snapshot (None if absent).
+- :func:`unfinished` — anti-join work discovery: input rows with no
+  committed output row, the reference's incremental resume
+  (``llacie/db.py:421-511``, J1-J3).
+- :func:`upsert` — delete-then-insert by key: replace output rows for keys
+  present in the new batch, keep the rest (the reference's
+  ``ON CONFLICT DO UPDATE`` / ``replace_episode_labels`` semantics,
+  ``llacie/db.py:650-665,769-803``). With Iceberg this is ``MERGE INTO``;
+  here it rewrites into a new snapshot directory and republishes.
+
+Layout per table::
+
+    <root>/<name>/snap-<k>/part-*.parquet   # data for snapshot k
+    <root>/<name>/_SNAPSHOT.json            # {"snapshot": k, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotCatalog:
+    def __init__(self, root: str):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    # ------------------------------------------------------------- manifest
+
+    def _manifest_path(self, name: str) -> Path:
+        return self.root / name / "_SNAPSHOT.json"
+
+    def current_snapshot(self, name: str) -> dict | None:
+        p = self._manifest_path(name)
+        if not p.exists():
+            return None
+        try:
+            return json.loads(p.read_text())
+        except (json.JSONDecodeError, OSError):
+            return None  # torn manifest = uncommitted
+
+    def _publish(self, name: str, snap_id: int, meta: dict) -> None:
+        manifest = {"snapshot": snap_id, "committed_at": time.time(), **meta}
+        p = self._manifest_path(name)
+        tmp = p.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(manifest))
+        os.replace(tmp, p)  # atomic on POSIX: the commit point
+
+    # ----------------------------------------------------------------- api
+
+    def write_stage(self, df: DataFrame, name: str, mode: str = "overwrite", meta: dict | None = None) -> dict:
+        """Materialize ``df`` as the next snapshot of ``name`` and commit.
+
+        A crash before ``_publish`` leaves the previous snapshot as the
+        readable state — rerunning the stage is safe (idempotent)."""
+        cur = self.current_snapshot(name)
+        snap_id = (cur["snapshot"] + 1) if cur else 0
+        path = self.root / name / f"snap-{snap_id}"
+        df.write.mode("overwrite").parquet(str(path))
+        self._publish(name, snap_id, meta or {})
+        return self.current_snapshot(name)
+
+    def read_stage(self, spark: SparkSession, name: str) -> DataFrame | None:
+        cur = self.current_snapshot(name)
+        if cur is None:
+            return None
+        return spark.read.parquet(str(self.root / name / f"snap-{cur['snapshot']}"))
+
+    def unfinished(self, spark: SparkSession, input_df: DataFrame, name: str, key: str | list[str]) -> DataFrame:
+        """Input rows not yet present in the committed output (J1-J3)."""
+        keys = [key] if isinstance(key, str) else list(key)
+        done = self.read_stage(spark, name)
+        if done is None:
+            return input_df
+        return input_df.join(done.select(*keys).distinct(), keys, "left_anti")
+
+    def upsert(self, spark: SparkSession, df: DataFrame, name: str, key: str | list[str]) -> dict:
+        """Replace committed rows whose key appears in ``df``; keep others.
+        New snapshot = (old minus df-keys) union df — the parquet rendering
+        of Iceberg ``MERGE INTO ... WHEN MATCHED THEN UPDATE``."""
+        keys = [key] if isinstance(key, str) else list(key)
+        existing = self.read_stage(spark, name)
+        if existing is None:
+            return self.write_stage(df, name)
+        kept = existing.join(df.select(*keys).distinct(), keys, "left_anti")
+        merged = kept.unionByName(df, allowMissingColumns=False)
+        return self.write_stage(merged, name)
+
+    def drop(self, name: str) -> None:
+        import shutil
+
+        if (self.root / name).exists():
+            shutil.rmtree(self.root / name)
+
+
+def with_runtime_metrics(df: DataFrame, started_at: float) -> DataFrame:
+    """Attach the per-row share of stage wall-clock (the reference's
+    ``strategy_runtime`` accounting, abstract_vllm_or_lcp.py:204-205) —
+    cheap approximation: stage elapsed so far at write time."""
+    return df.withColumn("batch_runtime_s", F.lit(time.time() - started_at))

@@ -1,0 +1,95 @@
+"""Stage 4: graph materialization — partitioned nodes/edges tables.
+
+Turns the triple stream into the final KG tables with per-partition lineage
+and metrics (north rule stage 4). Layout choices that matter at 10^12 docs:
+
+- **edges** partitioned by ``pred`` (few, stable values → partition pruning
+  for per-relation queries) and bucketed by ``subj_bucket = hash(subj) % B``
+  inside each partition, so edge scans for one entity touch one bucket and
+  entity-keyed joins can co-locate without a shuffle (Iceberg: ``PARTITIONED
+  BY (pred, bucket(B, subj))``; parquet rendering: directory partition on
+  both columns).
+- **nodes** deduplicated by id with kind discriminators.
+- per-partition **metrics rows** (the A9 fail-count analog): rows, distinct
+  subjects, min/max line_number per (pred, bucket) — written alongside so
+  data-quality drift is queryable without scanning edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .schemas import PRED_HAS_SYMPTOM
+
+DEFAULT_BUCKETS = 64
+
+
+def build_nodes(triples: DataFrame) -> DataFrame:
+    """Node table: episode subjects + concept objects, deduplicated."""
+    subjects = triples.select(
+        F.concat(F.lit("episode:"), F.col("episode_id")).alias("node_id"),
+        F.lit("episode").alias("kind"),
+        F.col("episode_id").cast("string").alias("name"),
+    )
+    objects = triples.select(
+        F.concat(F.lit("concept:"), F.col("label_name")).alias("node_id"),
+        F.lit("concept").alias("kind"),
+        F.col("label_name").alias("name"),
+    )
+    return subjects.unionByName(objects).dropDuplicates(["node_id"])
+
+
+def build_edges(triples: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Edge table with partition columns + lineage carried through."""
+    return triples.select(
+        F.concat(F.lit("episode:"), F.col("episode_id")).alias("subj"),
+        F.col("pred"),
+        F.concat(F.lit("concept:"), F.col("label_name")).alias("obj"),
+        F.col("label_value").alias("weight"),
+        F.col("line_number"),
+        F.col("doc_id").alias("provenance_doc"),
+        "stage",
+        "strategy",
+        "strategy_version",
+        "updated_at",
+        F.pmod(F.xxhash64(F.concat(F.lit("episode:"), F.col("episode_id"))), F.lit(n_buckets))
+        .cast("int")
+        .alias("subj_bucket"),
+    )
+
+
+def edge_partition_metrics(edges: DataFrame) -> DataFrame:
+    """Per-(pred, bucket) quality metrics — the queryable runtime footprint."""
+    return edges.groupBy("pred", "subj_bucket").agg(
+        F.count("*").alias("n_edges"),
+        F.countDistinct("subj").alias("n_subjects"),
+        F.min("line_number").alias("min_line"),
+        F.max("line_number").alias("max_line"),
+        F.max("updated_at").alias("last_updated"),
+    )
+
+
+def materialize_graph(
+    triples: DataFrame,
+    out_dir: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> dict:
+    """Write nodes/, edges/ (partitioned by pred, subj_bucket), metrics/.
+    Returns row counts. With an Iceberg catalog these become three
+    ``writeTo(...).partitionedBy(...)`` commits."""
+    nodes = build_nodes(triples)
+    edges = build_edges(triples, n_buckets)
+    metrics = edge_partition_metrics(edges)
+
+    nodes.write.mode("overwrite").parquet(f"{out_dir}/nodes")
+    edges.write.mode("overwrite").partitionBy("pred", "subj_bucket").parquet(
+        f"{out_dir}/edges"
+    )
+    metrics.write.mode("overwrite").parquet(f"{out_dir}/metrics")
+    return {
+        "nodes": nodes.count(),
+        "edges": edges.count(),
+        "partitions": metrics.count(),
+        "preds": [PRED_HAS_SYMPTOM],
+    }

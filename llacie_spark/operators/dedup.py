@@ -1,0 +1,276 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Training-data pipeline staples, all expressed as DataFrame transforms:
+
+- **exact**: group by a content fingerprint (one shuffle on the digest).
+- **n-gram Jaccard**: exact similarity join via a shingle inverted index —
+  self-join on shingle, count common, filter by threshold. Correct but
+  quadratic in per-shingle document frequency; ``max_shingle_df`` caps hot
+  shingles (stopword-shingle blowup) at a documented recall cost.
+- **MinHash + LSH**: the scale path. Signatures via ``min(xxhash64(shingle
+  XOR seed))`` per hash — all JVM-side; banding turns candidate generation
+  into an equi-join on (band, band-signature); candidates are then verified
+  with the exact Jaccard join restricted to candidate pairs. At 100 TB this
+  is the only variant whose shuffle volume is O(docs × bands), not O(pairs).
+- **SimHash**: 64-bit signature from token hashes; near-dup = Hamming
+  distance <= k, candidates by the pigeonhole band trick (split into k+1
+  chunks, at least one chunk equal), verified with bit_count(xor).
+
+Every operator returns unaggregated pair/group DataFrames so callers decide
+the keep-one policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import fingerprint, normalized_text
+
+
+# --------------------------------------------------------------------- exact
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of documents with identical normalized content:
+    (fingerprint, n_docs, doc_ids sorted). One shuffle on the digest."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .where("n_docs > 1")
+    )
+
+
+# ------------------------------------------------------------------ shingles
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle).
+
+    Tokens come from the normalized text; shingles are built JVM-side with
+    transform over token indices (no Python, no explode-before-join waste —
+    the explode happens once here)."""
+    toks = F.split(normalized_text(text_col), " ")
+    with_toks = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).where(
+        F.size("toks") >= n  # guard: sequence(0, size-n) must not descend
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - n),
+        lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+    )
+    return with_toks.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def _pair_jaccard(sh: DataFrame, max_shingle_df: int | None) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for all co-shingled pairs (a < b)."""
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").count().where(F.col("count") > max_shingle_df)
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))).alias("jaccard"),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs: (doc_a, doc_b, jaccard >= t)."""
+    sh = shingles(df, id_col, text_col, n)
+    return _pair_jaccard(sh, max_shingle_df).where(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------------------------- minhash
+
+# Fixed odd 64-bit mix constants (splitmix64-style), seeded deterministically.
+_MINHASH_SALTS = [0x9E3779B97F4A7C15 * (i + 1) & 0x7FFFFFFFFFFFFFFF for i in range(64)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(doc_id, sig array<long>): sig[i] = min over shingles of a salted
+    xxhash64. One groupBy over the shingle explosion; everything JVM-side."""
+    sh = shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """LSH banding: split signatures into ``bands`` rows-per-band chunks;
+    docs sharing any band chunk become a candidate pair. Shuffle key =
+    (band_id, chunk hash) — O(docs × bands) rows, never O(pairs)."""
+    rows_per_band = num_hashes // bands
+    banded = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        ),
+                        F.lit(b),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard: the scale-path
+    near-dup operator. Returns (doc_a, doc_b, jaccard >= threshold); at the
+    default 32 hashes / 8 bands the miss probability at j=0.8 is
+    (1-0.8^4)^8 ≈ 0.7%^... (~0.4%), and every surviving pair is exact."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    cands = minhash_candidate_pairs(sigs, num_hashes, bands)
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("shingle_b"))
+    common = (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, (F.col("doc_b") == F.col("doc_b2")) & (F.col("shingle") == F.col("shingle_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------------- simhash
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash long): 64-bit SimHash over unigram token hashes.
+
+    bit b of the signature = sign of sum over tokens of (+1 if bit b of
+    xxhash64(token) else -1). Expressed as one aggregate over the token
+    explosion with 64 conditional sums — a single shuffle, no Python."""
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(F.split(normalized_text(text_col), " ")).alias("tok"))
+        .where("tok != ''")
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    bit_sums = [
+        F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= k via the pigeonhole trick:
+    split the 64-bit signature into k+1 chunks; any pair within distance k
+    agrees on at least one chunk, so candidates come from k+1 equi-joins
+    (one shuffle each on a 16-bit key), then exact verification."""
+    sigs = simhash(df, id_col, text_col)
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", c * width).bitwiseAND(F.lit((1 << width) - 1))
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk", "chunk_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

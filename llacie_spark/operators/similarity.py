@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine` / :func:`dot` / :func:`norm` — JVM-side column expressions
+  (``zip_with`` + ``aggregate``), double accumulation in array order so the
+  DuckDB oracle reproduces results bit-for-bit.
+- :func:`brute_force_topk` — exact top-k neighbors for a (small) query set:
+  broadcast the queries, cross-join against the corpus, rank-window per
+  query. The baseline and the verifier for the approximate path.
+- :func:`lsh_bucket` / :func:`ann_lsh_topk` — the scale path: random
+  hyperplane signatures (planes are fixed literals, seeded) bucket the
+  corpus; a query only compares against its own bucket. At 10^12 rows the
+  cross-join is impossible; the bucket join shuffles O(rows), and multiple
+  probe tables (sign-flip probing) trade recall for fan-out.
+- :func:`embedding_cosine_pairs` — near-duplicate detection by embedding:
+  all pairs above a cosine threshold within LSH buckets.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query row.
+
+    (query_id, neighbor_id, cos) — queries are broadcast (small by contract);
+    ranking uses (cos desc, neighbor_id asc) for determinism. Self-matches
+    excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (unit-free; only the sign matters)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit p set iff dot(vec, plane_p) >= 0.
+    Planes are embedded as literals — pure JVM arithmetic, oracle-friendly."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(w)) for w in plane]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: compare only within matching hyperplane buckets.
+
+    Recall/cost dial = n_planes (8 planes → 256 buckets → ~1/256 of the
+    corpus scanned per query). Equi-join on bucket replaces the cross-join:
+    this is the plan shape that survives a 10^12-row corpus."""
+    planes = hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def embedding_cosine_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cos >= threshold), LSH-bucketed:
+    near-identical vectors land in the same sign bucket with high
+    probability, so the self-join is per-bucket, not global."""
+    planes = hyperplanes(dim, n_planes, seed)
+    b = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vid") < F.col("r.vid")))
+        .select(
+            F.col("l.vid").alias("vec_a"),
+            F.col("r.vid").alias("vec_b"),
+            cosine(F.col("l.v"), F.col("r.v")).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

@@ -89,6 +89,11 @@ def extract_sections(documents_with_text: DataFrame) -> DataFrame:
 
         return texts.map(one)
 
+    # asNondeterministic: stop Catalyst from duplicating the (expensive)
+    # Python expression when collapsing projects or pushing filters through
+    # it — the UDF chain would otherwise be evaluated once per consumer.
+    hpi_udf = hpi_udf.asNondeterministic()
+
     out = documents_with_text.withColumn("section_text", hpi_udf("note_text"))
     return with_lineage(out, "sections", "section.hpi_short.regex", "1.0.0")
 
@@ -115,6 +120,7 @@ def extract_mentions(sections: DataFrame, vocab: Vocab, scorer=None) -> DataFram
         s = scorer or GazetteerScorer(canonicalize=local_vocab.find_terms)
         return pd.Series(s.score_batch(texts.tolist()))
 
+    scorer_udf = scorer_udf.asNondeterministic()  # see extract_sections
     out = sections.withColumn("mentions", scorer_udf("section_text"))
     return with_lineage(out, "mentions", "feature.presenting_sx.gazetteer", "2.0.0")
 
@@ -155,6 +161,7 @@ def link_mentions(mentions_df: DataFrame, vocab: Vocab) -> DataFrame:
 
         return mentions.map(one)
 
+    match_udf = match_udf.asNondeterministic()  # see extract_sections
     return mentions_df.withColumn("matches", match_udf("mentions"))
 
 
@@ -186,7 +193,10 @@ def episode_triples(
             F.unix_timestamp("date_of_service_ts") - F.unix_timestamp("episode_start_ts")
             < F.lit(time_limit_s)
         )  # F4
-        .where(F.size("matches") > 0)
+        # J7: qualify on section/feature presence (a scored note with zero
+        # matches still wins the argmin and yields no labels — reference
+        # get_earliest_notes_with_feature semantics, db.py:237-275)
+        .where(F.col("section_text").isNotNull() & F.col("matches").isNotNull())
     )
     w = Window.partitionBy("episode_id").orderBy(
         (F.unix_timestamp("date_of_service_ts") - F.unix_timestamp("episode_start_ts")).asc(),
@@ -217,21 +227,78 @@ def episode_triples(
 # --------------------------------------------------------------------------
 
 
+def fused_extract(documents_with_text: DataFrame, vocab: Vocab, scorer=None) -> DataFrame:
+    """sections+mentions+linking as ONE pandas UDF returning a struct.
+
+    Three chained ArrowEvalPython nodes each get their own Python worker
+    pool per task slot (3x workers, poor reuse, 3 Arrow round-trips); for
+    the single-job path we fuse the whole Python portion into one node —
+    one worker pool, one Arrow round-trip, and the text crosses the
+    JVM/Python boundary exactly once. The per-stage functions remain the
+    checkpointed (stage-per-table) path.
+    """
+    vocab_dicts = vocab.ngram_dicts
+
+    out_type = T.StructType(
+        [
+            T.StructField("section_text", T.StringType(), True),
+            T.StructField("mentions", T.ArrayType(T.StringType()), True),
+            T.StructField(
+                "matches",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("label_name", T.StringType(), False),
+                            T.StructField("line_number", T.LongType(), False),
+                        ]
+                    )
+                ),
+                True,
+            ),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def fused_udf(texts: pd.Series) -> pd.DataFrame:
+        local_vocab = Vocab(ngram_dicts=vocab_dicts)
+        s = scorer or GazetteerScorer(canonicalize=local_vocab.find_terms)
+        sections, mentions, matches = [], [], []
+        for t in texts:
+            sec = extract_short_hpi(clean_note_text(t)) if t is not None else None
+            sec = sec if sec else None
+            ms = s.score_batch([sec])[0] if sec else []
+            found = local_vocab.find_terms("\n".join(ms)) if ms else {}
+            sections.append(sec)
+            mentions.append(ms)
+            matches.append(list(found.items()))
+        return pd.DataFrame(
+            {"section_text": sections, "mentions": mentions, "matches": matches}
+        )
+
+    fused_udf = fused_udf.asNondeterministic()  # never duplicate the Python work
+    out = documents_with_text.withColumn("_ext", fused_udf("note_text")).select(
+        "*",
+        F.col("_ext.section_text").alias("section_text"),
+        F.col("_ext.mentions").alias("mentions"),
+        F.col("_ext.matches").alias("matches"),
+    ).drop("_ext")
+    return with_lineage(out, "extract", "fused.gazetteer", "2.0.0")
+
+
 def run_pipeline(
     documents: DataFrame,
     doc_meta: DataFrame,
     vocab: Vocab,
     scorer=None,
 ) -> DataFrame:
-    """documents + doc_meta -> triples, all four stages fused in one plan.
+    """documents + doc_meta -> triples, all four stages in one plan (the
+    Python portion fused into a single UDF node).
 
-    When stages are checkpointed individually (resume support), use
-    ``io.write_stage`` between calls instead.
+    When stages are checkpointed individually (resume support), use the
+    per-stage functions with ``io.write_stage`` between them instead.
     """
     from .corpus import assemble_text
 
     with_text = assemble_text(documents)
-    sections = extract_sections(with_text)
-    mentions = extract_mentions(sections, vocab, scorer=scorer)
-    linked = link_mentions(mentions, vocab)
+    linked = fused_extract(with_text, vocab, scorer=scorer)
     return episode_triples(linked, doc_meta)

@@ -38,3 +38,25 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def prewarm_python_workers(spark: SparkSession, passes: int = 2) -> None:
+    """Force-start one Python UDF worker per core before timing anything.
+
+    Spark's local-mode Python worker creation is effectively serialized and
+    each worker pays the pandas/pyarrow import (~2-3 s), so the first jobs
+    on a 32-core session can spend 60-80 s just forking workers. Running a
+    trivial pandas UDF over exactly ``defaultParallelism`` partitions (twice
+    — creation keeps converging during the first job) moves that cost out of
+    measured runs. On a real cluster the same role is played by executor
+    warm-up; benchmarks report steady-state throughput either way.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    _noop = F.pandas_udf(lambda x: x, "long")
+
+    n = spark.sparkContext.defaultParallelism
+    for _ in range(passes):
+        spark.range(0, n, numPartitions=n).select(_noop("id")).write.format(
+            "noop"
+        ).mode("overwrite").save()

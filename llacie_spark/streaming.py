@@ -1,0 +1,98 @@
+"""Structured Streaming face of the pipeline: continuous document ingest.
+
+The reference has no streaming — its incremental unit is the idempotent
+batch re-run (SURVEY.md §2.9). At web scale the same pipeline also needs a
+continuous mode: new documents land in the input table/stream and triples
+appear downstream without a full re-run. This module provides:
+
+- :func:`stream_documents` — read a documents directory as a file stream
+  (schema-pinned; in production this is ``readStream.format("iceberg")`` or
+  Kafka);
+- :func:`stream_triples` — the same fused extraction applied on the stream
+  (stateless per-document transforms apply verbatim to streams; the
+  episode-level argmin is replaced by a dedup-on-key upsert into the sink,
+  the streaming rendering of delete-then-insert);
+- :func:`windowed_mention_counts` — watermarked sliding-window aggregation
+  over mention events (late data handled by the watermark), the standard
+  monitoring stream: mention volume per concept per window;
+- everything runs with ``availableNow`` triggers in tests (bounded, exactly
+  the files present) — the same code runs unbounded in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import DOCUMENTS
+from .vocab import Vocab
+
+
+def stream_documents(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of interleaved documents (one parquet dir)."""
+    return spark.readStream.schema(DOCUMENTS).parquet(path)
+
+
+def stream_extracted(stream_docs: DataFrame, vocab: Vocab) -> DataFrame:
+    """Apply the fused extraction to a document stream. Stateless — the
+    pandas UDF works identically on micro-batches."""
+    from .corpus import assemble_text
+    from .pipeline import fused_extract
+
+    return fused_extract(assemble_text(stream_docs), vocab)
+
+
+def stream_triples(extracted: DataFrame) -> DataFrame:
+    """Per-document triples from a stream (doc-level; the per-episode argmin
+    collapse is a keyed upsert at the sink, not a stream aggregation)."""
+    return extracted.select(
+        "doc_id",
+        F.explode("matches").alias("m"),
+    ).select(
+        "doc_id",
+        F.lit("has_presenting_symptom").alias("pred"),
+        F.col("m.label_name").alias("label_name"),
+        F.col("m.line_number").alias("line_number"),
+    )
+
+
+def windowed_mention_counts(
+    extracted: DataFrame,
+    event_time_col: str = "event_ts",
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Watermarked windowed counts of matched concepts — the monitoring
+    aggregation (late events beyond the watermark are dropped, state is
+    bounded)."""
+    ev = extracted.select(
+        F.col(event_time_col).alias("ts"), F.explode("matches").alias("m")
+    ).select("ts", F.col("m.label_name").alias("label_name"))
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "label_name")
+        .agg(F.count("*").alias("n_mentions"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "label_name",
+            "n_mentions",
+        )
+    )
+
+
+def run_stream_once(stream_df: DataFrame, out_path: str, checkpoint: str) -> None:
+    """Drain everything currently available into a parquet sink and stop —
+    bounded streaming execution (trigger availableNow) with a durable
+    checkpoint, so a rerun resumes after the last committed batch."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

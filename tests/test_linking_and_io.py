@@ -1,0 +1,144 @@
+"""Relational linker equivalence + snapshot catalog resume semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def concepts_df(spark, vocab):
+    return spark.createDataFrame(vocab.to_rows())
+
+
+def _relational_terms(spark, concepts_df, mentions, salt=None):
+    from llacie_spark.operators.linking import link_mentions_relational
+
+    df = spark.createDataFrame([("d1", mentions)], "doc_id string, mentions array<string>")
+    out = link_mentions_relational(df, concepts_df, salt_buckets=salt)
+    return {r.label_name: r.line_number for r in out.collect()}
+
+
+def test_relational_equals_udf_matcher_simple(spark, vocab, concepts_df):
+    mentions = ["fever", "chest pain", "pleuritic chest pain", "leg swelling"]
+    assert _relational_terms(spark, concepts_df, mentions) == vocab.find_terms(
+        "\n".join(mentions)
+    )
+
+
+def test_relational_equals_udf_matcher_overlaps(spark, vocab, concepts_df):
+    # longest-first with token consumption: "pleuritic chest pain" consumes
+    # all three tokens; earlier line wins for repeated terms
+    mentions = ["pleuritic chest pain now", "fever and chest pain", "fever"]
+    assert _relational_terms(spark, concepts_df, mentions) == vocab.find_terms(
+        "\n".join(mentions)
+    )
+
+
+def test_relational_salted_same_result(spark, vocab, concepts_df):
+    mentions = ["fever", "leg pain", "nausea, vomiting"]
+    expected = vocab.find_terms("\n".join(mentions))
+    assert _relational_terms(spark, concepts_df, mentions, salt=4) == expected
+
+
+def test_relational_equivalence_on_corpus(spark, vocab, concepts_df, corpus_notes):
+    """Property test: relational linker == greedy UDF matcher on the real
+    100-note corpus mention lists."""
+    from llacie_spark.operators.sections import clean_note_text, extract_short_hpi
+    from llacie_spark.operators.linking import link_mentions_relational
+    from llacie_spark.scorer import GazetteerScorer
+
+    scorer = GazetteerScorer(canonicalize=vocab.find_terms)
+    rows = []
+    expected = {}
+    for i, note in enumerate(corpus_notes[:40]):
+        doc = f"d{i}"
+        hpi = extract_short_hpi(clean_note_text(note))
+        ms = scorer.score_one(hpi) if hpi else []
+        rows.append((doc, ms))
+        for term, line in vocab.find_terms("\n".join(ms)).items():
+            expected[(doc, term)] = line
+    df = spark.createDataFrame(rows, "doc_id string, mentions array<string>")
+    out = link_mentions_relational(df, concepts_df)
+    got = {(r.doc_id, r.label_name): r.line_number for r in out.collect()}
+    assert got == expected
+
+
+# ------------------------------------------------------------------- io
+
+
+def test_snapshot_write_read_roundtrip(spark, tmp_path):
+    from llacie_spark.io import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path))
+    df = spark.range(0, 10).withColumn("v", F.col("id") * 2)
+    snap = cat.write_stage(df, "t1")
+    assert snap["snapshot"] == 0
+    back = cat.read_stage(spark, "t1")
+    assert back.count() == 10
+    snap2 = cat.write_stage(df.where("id < 5"), "t1")
+    assert snap2["snapshot"] == 1
+    assert cat.read_stage(spark, "t1").count() == 5
+
+
+def test_unfinished_anti_join_resume(spark, tmp_path):
+    from llacie_spark.io import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path))
+    inp = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    # nothing committed: everything unfinished
+    assert cat.unfinished(spark, inp, "stage1", "doc_id").count() == 100
+    # commit half, resume picks up the rest
+    cat.write_stage(inp.where("doc_id < 60"), "stage1")
+    rest = cat.unfinished(spark, inp, "stage1", "doc_id")
+    assert rest.count() == 40
+    assert rest.agg(F.min("doc_id")).first()[0] == 60
+
+
+def test_upsert_replaces_by_key(spark, tmp_path):
+    from llacie_spark.io import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path))
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    cat.write_stage(v1, "t")
+    v2 = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    cat.upsert(spark, v2, "t", "k")
+    got = {r.k: r.v for r in cat.read_stage(spark, "t").collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_torn_manifest_is_invisible(spark, tmp_path):
+    from llacie_spark.io import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path))
+    df = spark.range(0, 3)
+    cat.write_stage(df, "t")
+    (tmp_path / "t" / "_SNAPSHOT.json").write_text("{not json")
+    assert cat.current_snapshot("t") is None
+    assert cat.read_stage(spark, "t") is None  # uncommitted => invisible
+
+
+def test_pipeline_resume_end_to_end(spark, vocab, tmp_path):
+    """Kill-between-stages resume: stage outputs committed per snapshot;
+    rerun processes only unfinished docs; final triples identical to a
+    single-shot run (the reference SKIPTO-fixture pattern)."""
+    from llacie_spark.corpus import assemble_text, reference_doc_meta, reference_documents
+    from llacie_spark.io import SnapshotCatalog
+    from llacie_spark.pipeline import episode_triples, fused_extract, run_pipeline
+
+    docs = reference_documents(spark)
+    meta = reference_doc_meta(spark)
+    cat = SnapshotCatalog(str(tmp_path))
+
+    # "crashed" first run: only 30 docs worth of extraction committed
+    part1 = assemble_text(docs.where(F.col("doc_id") <= "doc-000030"))
+    cat.write_stage(fused_extract(part1, vocab), "extracted")
+
+    # resume: anti-join finds the rest, upsert completes the table
+    todo = cat.unfinished(spark, docs, "extracted", "doc_id")
+    assert todo.count() == 70
+    cat.upsert(spark, fused_extract(assemble_text(todo), vocab), "extracted", "doc_id")
+
+    resumed = episode_triples(cat.read_stage(spark, "extracted"), meta)
+    oneshot = run_pipeline(docs, meta, vocab)
+    a = {(r.episode_id, r.label_name, r.line_number) for r in resumed.collect()}
+    b = {(r.episode_id, r.label_name, r.line_number) for r in oneshot.collect()}
+    assert a == b and len(a) > 0

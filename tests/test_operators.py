@@ -1,0 +1,181 @@
+"""Operator tests: dedup, similarity, textstats, graph CC, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from llacie_spark.operators import dedup, graph, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat today"),  # near dup
+        (4, "completely different text about spark pipelines and data"),
+        (5, "El perro corre rápido y la casa es grande que es bueno"),
+        (6, "ab"),  # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicate_groups(docs_df):
+    groups = dedup.exact_duplicate_groups(docs_df, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert sorted(groups[0]["doc_ids"]) == [1, 2]
+
+
+def test_jaccard_pairs_exact(docs_df):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs_df, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert all(a < b for a, b in pairs)
+
+
+def test_minhash_candidates_cover_exact_pairs(docs_df):
+    exact = {(r.doc_a, r.doc_b) for r in dedup.jaccard_pairs(docs_df, threshold=0.8).collect()}
+    mh = {(r.doc_a, r.doc_b) for r in dedup.minhash_dedup_pairs(docs_df, threshold=0.8).collect()}
+    assert mh == exact  # verified candidates == exact result at this scale
+
+
+def test_simhash_pairs(docs_df):
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_pairs(docs_df, max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0  # identical text -> identical signature
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_shingle_guard_short_docs(docs_df):
+    sh = dedup.shingles(docs_df)
+    assert sh.where("doc_id = 6").count() == 0  # 1 token < n, no error
+
+
+# ------------------------------------------------------------- similarity
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [1.0, 0.01, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(emb_df):
+    out = similarity.brute_force_topk(emb_df.where("vec_id = 0"), emb_df, k=2).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [4, 1]
+
+
+def test_ann_lsh_finds_close_neighbor(emb_df):
+    out = similarity.ann_lsh_topk(
+        emb_df.where("vec_id = 0"), emb_df, k=3, n_planes=2, dim=4
+    ).collect()
+    # vec 4 is nearly identical to vec 0 -> same sign bucket w.h.p.
+    assert 4 in {r.neighbor_id for r in out}
+
+
+def test_embedding_cosine_pairs(emb_df):
+    pairs = {(r.vec_a, r.vec_b) for r in
+             similarity.embedding_cosine_pairs(emb_df, threshold=0.99, n_planes=2, dim=4).collect()}
+    assert (0, 4) in pairs
+
+
+# -------------------------------------------------------------- textstats
+
+
+def test_token_and_char_counts(spark):
+    df = spark.createDataFrame([("a bb  ccc",)], "text string")
+    row = df.select(
+        textstats.token_count("text").alias("t"),
+        textstats.char_count("text").alias("c"),
+    ).first()
+    assert row.t == 3 and row.c == 9
+
+
+def test_lang_guess(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house is to go"),
+         (2, "der hund und die katze ist nicht hier und der rest"),
+         (3, "今天天气很好"),
+         (4, "xyz qqq zzz")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang for r in df.select("doc_id", textstats.lang_guess("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "zh", 4: "und"}
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame([("Hello,  WORLD!",), ("hello world",)], "text string")
+    fps = [r.fp for r in df.select(textstats.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+# ------------------------------------------------------------------ graph
+
+
+def test_connected_components_chain_and_clique(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p")],
+        "src string, dst string",
+    )
+    comp = {r.node: r.component for r in graph.connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+    assert comp["p"] == "p"
+
+
+def test_connected_components_long_chain(spark):
+    n = 33
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(n)], "src string, dst string"
+    )
+    comp = graph.connected_components(edges)
+    assert comp.select("component").distinct().count() == 1
+
+
+def test_canonical_map_resolves_synonyms(spark, vocab):
+    from llacie_spark.schemas import CONCEPTS
+
+    rows = [
+        ("shortness of breath", 3, 0, "dyspnea", None, "dyspnea"),
+        ("sob", 1, 0, "dyspnea", None, "dyspnea"),
+        ("dyspnea", 1, 0, "dyspnea", None, None),
+        ("fever", 1, 0, "fever", None, None),
+    ]
+    concepts = spark.createDataFrame(rows, CONCEPTS)
+    m = {r.surface: r.canonical_id for r in graph.canonical_map(concepts).collect()}
+    assert m["shortness of breath"] == m["sob"] == m["dyspnea"]
+    assert m["fever"] != m["sob"]
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def test_media_pipeline(spark):
+    from llacie_spark.corpus import reference_documents
+
+    docs = reference_documents(spark)
+    media = multimodal.synthetic_media(spark, docs)
+    n_media = media.count()
+    assert n_media > 0
+    feats = multimodal.extract_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == n_media
+    for r in rows:
+        assert r.n_bytes > 0 and len(r.content_sha1) == 40
+        if r.media_type == "image":
+            assert r.width >= 64 and r.height >= 64 and r.duration_s is None
+        else:
+            assert r.duration_s > 0 and r.width is None
+        assert r.decoder == "fake-deterministic"
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.RealDecoder()
