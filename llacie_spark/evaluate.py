@@ -92,6 +92,54 @@ class ConfusionCounts:
         )
 
 
+def bootstrap_ci(
+    cc: "ConfusionCounts",
+    metric: str = "f1",
+    n_resamples: int = 1000,
+    confidence: float = 0.95,
+    seed: int = 42,
+) -> tuple[float, tuple[float, float]]:
+    """Percentile-bootstrap confidence interval for any ConfusionCounts
+    metric (the reference evaluates 8 metrics with 1000-resample percentile
+    CIs, ``llacie/evaluate.py:51,108-117``).
+
+    Resampling happens over the flattened episode×term cell population —
+    which is fully described by the four counts, so each resample is one
+    multinomial draw: no need to materialize the dense boolean vectors even
+    at millions of episodes."""
+    import numpy as np
+
+    total = cc.tp + cc.fp + cc.fn + cc.tn
+    if total == 0:
+        return 0.0, (0.0, 0.0)
+    rng = np.random.default_rng(seed)
+    p = np.array([cc.tp, cc.fp, cc.fn, cc.tn]) / total
+    draws = rng.multinomial(total, p, size=n_resamples)
+    vals = np.array(
+        [getattr(ConfusionCounts(tp=d[0], fp=d[1], fn=d[2], tn=d[3]), metric) for d in draws]
+    )
+    alpha = (1 - confidence) / 2
+    lo, hi = np.quantile(vals, [alpha, 1 - alpha])
+    return getattr(cc, metric), (float(lo), float(hi))
+
+
+def metrics_with_ci(cc: "ConfusionCounts", n_resamples: int = 1000) -> dict:
+    """The reference's 8-metric table with bootstrap CIs."""
+    out = {}
+    for name in [
+        "accuracy",
+        "balanced_accuracy",
+        "f1",
+        "precision",
+        "recall",
+        "specificity",
+        "npv",
+        "kappa",
+    ]:
+        out[name] = bootstrap_ci(cc, name, n_resamples)
+    return out
+
+
 def first_annotator_labels(gold: DataFrame) -> DataFrame:
     """Keep only the first annotator's rows per episode (evaluate.py:12-19).
     'First' is made deterministic by ordering on annotator name."""
