@@ -336,6 +336,107 @@ def _q_kg_triples(spark, sf):
     )
 
 
+
+
+def _q_json_extract(spark, sf):
+    # X5: JSON parsing of semi-structured payloads
+    e = _t(spark, sf, "events")
+    return e.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+def _q_supplier_parts(spark, sf):
+    # fact-to-dims join on two keys + aggregate
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    s = _t(spark, sf, "supplier")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("supplier"), F.col("p_brand").alias("brand"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+def _q_union_entities(spark, sf):
+    # set op: union of two entity tables into one dimension
+    c = _t(spark, sf, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("kind"),
+        F.round(F.col("c_acctbal"), 4).alias("acctbal"),
+    )
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("kind"),
+        F.round(F.col("s_acctbal"), 4).alias("acctbal"),
+    )
+    return c.unionByName(s)
+
+
+def _q_rollup_revenue(spark, sf):
+    # grouping sets: region/nation rollup with grand total
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+
+
+def _q_kg_relational(spark, sf):
+    """KG pipeline with the relational (salted candidate-join) linker —
+    the huge-dictionary scale path (rows-only check)."""
+    from llacie_spark.corpus import assemble_text, reference_documents
+    from llacie_spark.operators.linking import link_mentions_relational
+    from llacie_spark.pipeline import extract_mentions, extract_sections
+    from llacie_spark.vocab import Vocab
+
+    vocab = Vocab.from_csv(str(REPO / "fixtures/vocab_pres_sx_v2.csv"))
+    docs = reference_documents(spark, str(REPO / "fixtures/admission-100.txt"))
+    mentions = extract_mentions(extract_sections(assemble_text(docs)), vocab)
+    concepts = spark.createDataFrame(vocab.to_rows())
+    return link_mentions_relational(mentions, concepts, salt_buckets=4)
+
+
+def _q_kg_canonical(spark, sf):
+    """Triples with connected-components canonicalization applied
+    (north-rule stage 3; rows-only check)."""
+    from llacie_spark.operators.graph import canonical_map, canonicalize_triples
+    from llacie_spark.schemas import CONCEPTS
+    from llacie_spark.vocab import Vocab
+    import csv as _csv
+
+    with open(REPO / "fixtures/vocab_pres_sx_v2.csv", newline="") as f:
+        rows = [
+            (r["ngram"], int(r["n"]), int(r["count"] or 0), r["canonical_name"],
+             r["combo_symptom"] or None, r["synonym_of"] or None)
+            for r in _csv.DictReader(f)
+        ]
+    concepts = spark.createDataFrame(rows, CONCEPTS)
+    triples = _q_kg_triples(spark, sf)
+    return canonicalize_triples(triples, canonical_map(concepts)).select(
+        "episode_id", "pred", "label_name", "label_canonical", "line_number"
+    )
+
+
+def _q_media_features(spark, sf):
+    """Multimodal plumbing: media spans -> decoded feature rows (rows-only)."""
+    from llacie_spark.corpus import reference_documents
+    from llacie_spark.operators.multimodal import extract_media_features, synthetic_media
+
+    docs = reference_documents(spark, str(REPO / "fixtures/admission-100.txt"))
+    return extract_media_features(synthetic_media(spark, docs))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -363,6 +464,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_stats": _q_embed_stats,
         "doc_enrich": _q_doc_enrich,
         "kg_triples": _q_kg_triples,
+        "json_extract": _q_json_extract,
+        "supplier_parts": _q_supplier_parts,
+        "union_entities": _q_union_entities,
+        "rollup_revenue": _q_rollup_revenue,
+        "kg_relational": _q_kg_relational,
+        "kg_canonical": _q_kg_canonical,
+        "media_features": _q_media_features,
     }
 
 
@@ -582,5 +690,34 @@ def oracle_sql() -> dict[str, str]:
                    md5({_NORM}) as fp
             from documents
         """,
-        # simhash_pairs, kg_triples: not SQL-expressible → rows-only checks
+        "json_extract": """
+            select cast(event_id as bigint) as event_id,
+                   cast(json_extract(props, '$.k') as bigint) as k
+            from events
+        """,
+        "supplier_parts": """
+            select s_name as supplier, p_brand as brand,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) as revenue,
+                   cast(count(*) as bigint) as n_items
+            from lineitem
+            join part on l_partkey = p_partkey
+            join supplier on l_suppkey = s_suppkey
+            group by s_name, p_brand
+        """,
+        "union_entities": """
+            select c_name as name, 'customer' as kind, round(c_acctbal, 4) as acctbal from customer
+            union all
+            select s_name as name, 'supplier' as kind, round(s_acctbal, 4) as acctbal from supplier
+        """,
+        "rollup_revenue": """
+            select r_name as region, n_name as nation,
+                   round(sum(o_totalprice), 4) as revenue
+            from orders
+            join customer on o_custkey = c_custkey
+            join nation on c_nationkey = n_nationkey
+            join region on n_regionkey = r_regionkey
+            group by rollup(r_name, n_name)
+        """,
+        # simhash_pairs, kg_triples, kg_relational, kg_canonical,
+        # media_features: not SQL-expressible → rows-only checks
     }
