@@ -95,7 +95,7 @@ def jaccard_pairs(
     max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs: (doc_a, doc_b, jaccard >= t)."""
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingles(df, id_col, text_col, n).persist()  # sizes + both join sides
     return _pair_jaccard(sh, max_shingle_df).where(F.col("jaccard") >= threshold)
 
 
@@ -111,10 +111,11 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 32,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig array<long>): sig[i] = min over shingles of a salted
     xxhash64. One groupBy over the shingle explosion; everything JVM-side."""
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingles_df if shingles_df is not None else shingles(df, id_col, text_col, n)
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
     ]
@@ -176,9 +177,12 @@ def minhash_dedup_pairs(
     near-dup operator. Returns (doc_a, doc_b, jaccard >= threshold); at the
     default 32 hashes / 8 bands the miss probability at j=0.8 is
     (1-0.8^4)^8 ≈ 0.7%^... (~0.4%), and every surviving pair is exact."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # one shingle explosion feeds signatures, sizes, and verification —
+    # persisted because three downstream branches would otherwise re-scan
+    # and re-explode the full corpus (fatal at 100 TB, wasteful anywhere)
+    sh = shingles(df, id_col, text_col, n).persist()
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles_df=sh)
     cands = minhash_candidate_pairs(sigs, num_hashes, bands)
-    sh = shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("shingle_b"))
