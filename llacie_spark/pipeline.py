@@ -285,6 +285,34 @@ def fused_extract(documents_with_text: DataFrame, vocab: Vocab, scorer=None) -> 
     return with_lineage(out, "extract", "fused.gazetteer", "2.0.0")
 
 
+def repartition_by_cost(
+    df: DataFrame,
+    text_col: str = "note_text",
+    chars_per_task: int = 2_000_000,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Size-aware repartition before a Python-heavy stage.
+
+    Note length is skewed (the reference autotrims because some HPIs blow
+    the model window, llama3_8b.py:62); with layout-inherited partitions a
+    run of giant documents stalls one task. Repartitioning on a random-ish
+    key with the partition count derived from total text volume bounds
+    per-task Python work — the declarative version of the reference's
+    50-notes-per-job byterm sharding (byterm.py:35).
+
+    Costs one shuffle of the text; worth it only when the downstream Python
+    work dominates (it does for LLM scorers; for the gazetteer it's
+    optional, hence a separate helper rather than always-on).
+    """
+    spark = df.sparkSession
+    total_chars = df.select(F.sum(F.length(text_col))).first()[0] or 0
+    n = max(
+        min_partitions or spark.sparkContext.defaultParallelism,
+        int(total_chars / chars_per_task) + 1,
+    )
+    return df.repartition(n, F.col("doc_id"))
+
+
 def run_pipeline(
     documents: DataFrame,
     doc_meta: DataFrame,

@@ -515,6 +515,29 @@ class GazetteerScorer:
         mentions.append(item)
 
 
+_SENTENCE_CUT = re.compile(r"([.]\s+|[.]$)")
+
+
+def trim_to_token_budget(text: str, max_tokens: int, count_tokens=None) -> str:
+    """Drop trailing sentences until the text fits a token budget.
+
+    Reference semantics (``llacie/inference/llama_cpp.py:44-67``): while the
+    tokenized length exceeds the limit, split on sentence boundaries and cut
+    four pieces (two sentences + their separators) off the end. The token
+    counter is injectable (a real tokenizer in production); the default
+    approximates tokens as whitespace words.
+    """
+    count = count_tokens or (lambda t: len(t.split()))
+    while count(text) > max_tokens:
+        pieces = _SENTENCE_CUT.split(text)
+        if len(pieces) <= 4:
+            # can't drop whole sentences anymore: hard-cut words
+            words = text.split()
+            return " ".join(words[:max_tokens])
+        text = "".join(pieces[:-4]).strip()
+    return text
+
+
 class LLMScorer:
     """Production scorer: batched LLM/NER model call per Arrow batch.
 

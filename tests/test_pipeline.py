@@ -150,3 +150,14 @@ def test_argmin_join_picks_earliest_note(spark, vocab):
     rows = triples.select("doc_id", "label_name").collect()
     assert {r.doc_id for r in rows} == {"d2"}  # earlier note wins
     assert {r.label_name for r in rows} == {"chills"}
+
+
+def test_repartition_by_cost(spark, docs, vocab):
+    from llacie_spark.corpus import assemble_text
+    from llacie_spark.pipeline import repartition_by_cost, run_pipeline
+    from llacie_spark.corpus import reference_doc_meta
+
+    wt = assemble_text(docs)
+    rep = repartition_by_cost(wt, chars_per_task=20_000, min_partitions=2)
+    assert rep.rdd.getNumPartitions() >= 10  # ~350KB corpus / 20KB per task
+    assert rep.count() == 100  # no rows lost

@@ -90,3 +90,14 @@ def test_gold_fixture_precision_recall_gate(vocab, gold_rows):
     recall = tp / (tp + fn)
     assert precision >= 0.95, f"precision {precision:.4f} < 0.95 (tp={tp} fp={fp})"
     assert recall >= 0.95, f"recall {recall:.4f} < 0.95 (tp={tp} fn={fn})"
+
+
+def test_trim_to_token_budget():
+    from llacie_spark.scorer import trim_to_token_budget
+
+    text = "One two three. Four five six. Seven eight nine. Ten eleven twelve."
+    assert trim_to_token_budget(text, 100) == text  # fits: untouched
+    assert trim_to_token_budget(text, 9) == "One two three. Four five six. Seven eight nine"
+    assert trim_to_token_budget(text, 7) == "One two three"  # two cut rounds
+    # pathological: one giant sentence falls back to a hard word cut
+    assert trim_to_token_budget("w " * 50, 5).count("w") == 5
