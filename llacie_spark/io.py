@@ -109,6 +109,27 @@ class SnapshotCatalog:
             shutil.rmtree(self.root / name)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 64,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join key.
+
+    Bucketing is the 100 TB join strategy: two tables bucketed on the same
+    key with the same bucket count join with NO exchange — each task reads
+    matching buckets from both sides. For the KG tables that means
+    documents/mentions/triples all bucketed by doc_id (or subj) join and
+    re-aggregate shuffle-free across stages. Requires ``saveAsTable`` (the
+    bucketing metadata lives in the session catalog / metastore)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
 def with_runtime_metrics(df: DataFrame, started_at: float) -> DataFrame:
     """Attach the per-row share of stage wall-clock (the reference's
     ``strategy_runtime`` accounting, abstract_vllm_or_lcp.py:204-205) —

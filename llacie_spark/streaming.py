@@ -21,6 +21,7 @@ appear downstream without a full re-run. This module provides:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -80,6 +81,55 @@ def windowed_mention_counts(
             "label_name",
             "n_mentions",
         )
+    )
+
+
+def first_seen_dedup(
+    triples_stream: DataFrame,
+    key_cols: tuple[str, str] = ("doc_id", "label_name"),
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator: emit each (doc, label) only the FIRST time
+    it is ever seen across the whole stream, via ``applyInPandasWithState``.
+
+    This is the streaming rendering of the reference's upsert-keyed
+    idempotency (``ON CONFLICT DO UPDATE`` — a re-extracted document must
+    not duplicate downstream triples, ``llacie/db.py:650-665``). State per
+    group = the set of labels already emitted; an optional processing-time
+    timeout bounds state for abandoned keys (production would set one sized
+    to the reprocess window).
+
+    Grouping is by the first key column (doc), so state size per group is
+    the label count of one document — small and bounded.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    group_col, label_col = key_cols
+    out_schema = f"{group_col} string, {label_col} string, line_number long"
+    state_schema = "seen array<string>"
+
+    def fn(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        rows = []
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                label = getattr(r, label_col)
+                if label not in seen:
+                    seen.add(label)
+                    rows.append((key[0], label, getattr(r, "line_number")))
+        state.update((list(seen),))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if rows:
+            yield pd.DataFrame(rows, columns=[group_col, label_col, "line_number"])
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+    return triples_stream.groupBy(group_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
     )
 
 

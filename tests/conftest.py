@@ -11,9 +11,16 @@ sys.path.insert(0, str(REPO))
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from llacie_spark.session import get_spark
 
-    spark = get_spark(app_name="llacie-spark-tests", master="local[4]", shuffle_partitions=4)
+    spark = get_spark(
+        app_name="llacie-spark-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-")},
+    )
     yield spark
     spark.stop()
 

@@ -142,3 +142,29 @@ def test_pipeline_resume_end_to_end(spark, vocab, tmp_path):
     a = {(r.episode_id, r.label_name, r.line_number) for r in resumed.collect()}
     b = {(r.episode_id, r.label_name, r.line_number) for r in oneshot.collect()}
     assert a == b and len(a) > 0
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key join without a shuffle."""
+    from llacie_spark.io import write_bucketed
+
+    a = spark.range(0, 1000).withColumnRenamed("id", "doc_id").withColumn("x", F.col("doc_id") * 2)
+    b = spark.range(0, 1000).withColumnRenamed("id", "doc_id").withColumn("y", F.col("doc_id") + 1)
+    write_bucketed(a, "bt_a", "doc_id", n_buckets=8, sort_col="doc_id")
+    write_bucketed(b, "bt_b", "doc_id", n_buckets=8, sort_col="doc_id")
+    # force the shuffle-join path (tiny test tables would broadcast, which
+    # bypasses bucketing entirely); at scale neither side broadcasts
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bt_a").join(spark.table("bt_b"), "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located buckets: merge join with NO shuffle exchange on either side
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("drop table bt_a")
+        spark.sql("drop table bt_b")

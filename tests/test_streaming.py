@@ -72,3 +72,41 @@ def test_windowed_mention_counts(spark, vocab, tmp_path):
     assert len(rows) > 0
     assert all(r.n_mentions >= 1 for r in rows)
     assert all(r.window_end > r.window_start for r in rows)
+
+
+def test_stateful_first_seen_dedup(spark, vocab, tmp_path):
+    """applyInPandasWithState: duplicates across micro-batches are dropped by
+    keyed state persisted in the checkpoint."""
+    from pyspark.sql import functions as F
+
+    from llacie_spark.corpus import reference_documents
+    from llacie_spark.streaming import (
+        first_seen_dedup,
+        run_stream_once,
+        stream_documents,
+        stream_extracted,
+        stream_triples,
+    )
+
+    src = str(tmp_path / "sin")
+    out = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+    docs = reference_documents(spark).limit(10)
+    docs.write.parquet(src)
+
+    def drain():
+        stream = first_seen_dedup(
+            stream_triples(stream_extracted(stream_documents(spark, src), vocab))
+        )
+        run_stream_once(stream, out, ckpt)
+
+    drain()
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+    # append THE SAME documents again (duplicate content, new files)
+    docs.write.mode("append").parquet(src)
+    drain()
+    final = spark.read.parquet(out)
+    assert final.count() == n1  # every re-seen (doc,label) suppressed by state
+    dups = final.groupBy("doc_id", "label_name").count().where("count > 1")
+    assert dups.count() == 0
