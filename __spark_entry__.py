@@ -437,6 +437,37 @@ def _q_media_features(spark, sf):
     return extract_media_features(synthetic_media(spark, docs))
 
 
+
+
+def _q_sessionize(spark, sf):
+    # gaps-and-islands sessionization: lag window + running sum of breaks
+    e = _t(spark, sf, "events")
+    w_user = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gapped = e.withColumn(
+        "new_session",
+        (
+            F.coalesce(
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_user)),
+                F.lit(10**9),
+            )
+            > 1800
+        ).cast("int"),
+    )
+    sessioned = gapped.withColumn(
+        "session_no",
+        F.sum("new_session").over(w_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessioned.groupBy(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_no").cast("long").alias("session_no"),
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("long")
+        .alias("duration_s"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -465,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_enrich": _q_doc_enrich,
         "kg_triples": _q_kg_triples,
         "json_extract": _q_json_extract,
+        "sessionize": _q_sessionize,
         "supplier_parts": _q_supplier_parts,
         "union_entities": _q_union_entities,
         "rollup_revenue": _q_rollup_revenue,
@@ -689,6 +721,25 @@ def oracle_sql() -> dict[str, str]:
                    {_lang_case_sql()} as lang_pred,
                    md5({_NORM}) as fp
             from documents
+        """,
+        "sessionize": """
+            with gapped as (
+              select user_id, ts, event_id,
+                     case when floor(epoch(ts)) - floor(epoch(lag(ts) over
+                          (partition by user_id order by ts asc, event_id asc))) > 1800
+                          or lag(ts) over (partition by user_id order by ts asc, event_id asc) is null
+                          then 1 else 0 end as new_session
+              from events),
+            sessioned as (
+              select user_id, ts,
+                     sum(new_session) over (partition by user_id order by ts asc, event_id asc
+                                            rows unbounded preceding) as session_no
+              from gapped)
+            select cast(user_id as bigint) as user_id,
+                   cast(session_no as bigint) as session_no,
+                   cast(count(*) as bigint) as n_events,
+                   cast(floor(epoch(max(ts))) - floor(epoch(min(ts))) as bigint) as duration_s
+            from sessioned group by user_id, session_no
         """,
         "json_extract": """
             select cast(event_id as bigint) as event_id,

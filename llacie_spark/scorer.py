@@ -289,14 +289,22 @@ def _reorder_sites(text: str) -> str:
     return _SYMPTOM_OF_SITE.sub(repl, text)
 
 
+_PITTING = re.compile(r"\bpitting edema\b", re.I)
+# precompiled (site-class, symptom-class) adjacency rewrites — built once;
+# rebuilding these f-string patterns per call dominated the scorer profile
+_ADJACENT_RULES = [
+    (re.compile(rf"\b(?:{pat})\b\s+(?:{syms})\b", re.I), f"{cls} {repl}")
+    for cls, pat in _SITE_CLASS.items()
+    for syms, repl in (("edema|swelling", "swelling"), ("pain|ache", "pain"), ("ulcer|wound", "wound"))
+]
+
+
 def _normalize_adjacent_sites(text: str) -> str:
     """Map adjacent site+symptom pairs: "LE pitting edema" -> "leg swelling",
     "plantar ulcer" -> "foot wound"."""
-    t = re.sub(r"\bpitting edema\b", "edema", text, flags=re.I)
-    for cls, pat in _SITE_CLASS.items():
-        t = re.sub(rf"\b(?:{pat})\b\s+(edema|swelling)\b", f"{cls} swelling", t, flags=re.I)
-        t = re.sub(rf"\b(?:{pat})\b\s+(pain|ache)\b", f"{cls} pain", t, flags=re.I)
-        t = re.sub(rf"\b(?:{pat})\b\s+(ulcer|wound)\b", f"{cls} wound", t, flags=re.I)
+    t = _PITTING.sub("edema", text)
+    for pat, repl in _ADJACENT_RULES:
+        t = pat.sub(repl, t)
     return t
 
 
