@@ -44,7 +44,7 @@ HEADLINE = [
     "doc_enrich",
 ]
 
-KG_DOCS_PER_SF = 50_000  # synthetic corpus rows = sf * this (min 1000)
+KG_DOCS_PER_SF = 400_000  # synthetic corpus rows = sf * this (min 1000)
 
 
 def _sf_of(sf_dir: str) -> float:

@@ -1,0 +1,76 @@
+"""spark-submit entrypoint: the full KG-construction job.
+
+Usage (local or cluster — only master/conf differ):
+
+    zip -r llacie_spark.zip llacie_spark
+    spark-submit --master <master> --py-files llacie_spark.zip \\
+        jobs/run_kg.py --docs 100000 --out /path/to/graph \\
+        [--corpus fixtures/admission-100.txt] [--stage-root /path/chkpts]
+
+Stages run checkpointed through the snapshot catalog, so re-submitting after
+a failure resumes from the last committed stage (anti-join work discovery).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str]) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--docs", type=int, default=10_000, help="synthetic corpus size")
+    p.add_argument("--corpus", default=None, help="notes corpus file (reference format)")
+    p.add_argument("--vocab", default="fixtures/vocab_pres_sx_v2.csv")
+    p.add_argument("--out", required=True, help="output dir for nodes/edges/metrics")
+    p.add_argument("--stage-root", default=None, help="snapshot checkpoint root (enables resume)")
+    p.add_argument("--buckets", type=int, default=64)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from llacie_spark.corpus import (
+        assemble_text,
+        reference_doc_meta,
+        reference_documents,
+        synthetic_doc_meta,
+        synthetic_documents,
+    )
+    from llacie_spark.io import SnapshotCatalog
+    from llacie_spark.materialize import materialize_graph
+    from llacie_spark.pipeline import episode_triples, fused_extract, run_pipeline
+    from llacie_spark.vocab import Vocab
+
+    spark = SparkSession.builder.appName("llacie-kg").getOrCreate()
+    vocab = Vocab.from_csv(args.vocab)
+
+    if args.corpus:
+        docs = reference_documents(spark, args.corpus)
+        meta = reference_doc_meta(spark, docs.count())
+    else:
+        docs = synthetic_documents(spark, args.docs)
+        meta = synthetic_doc_meta(spark, args.docs)
+
+    t0 = time.time()
+    if args.stage_root:
+        cat = SnapshotCatalog(args.stage_root)
+        todo = cat.unfinished(spark, docs, "extracted", "doc_id")
+        n_todo = todo.count()
+        if n_todo:
+            cat.upsert(spark, fused_extract(assemble_text(todo), vocab), "extracted", "doc_id")
+        triples = episode_triples(cat.read_stage(spark, "extracted"), meta)
+    else:
+        n_todo = None
+        triples = run_pipeline(docs, meta, vocab)
+
+    stats = materialize_graph(triples, args.out, n_buckets=args.buckets)
+    stats["wall_s"] = round(time.time() - t0, 2)
+    stats["resumed_docs"] = n_todo
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
