@@ -468,6 +468,24 @@ def _q_sessionize(spark, sf):
     )
 
 
+
+
+def _q_asof_join(spark, sf):
+    # as-of join: each purchase paired with the user's most recent prior view
+    from llacie_spark.operators.asof import asof_join
+
+    e = _t(spark, sf, "events")
+    purchases = e.where("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    views = e.where("event_type = 'view'").select("user_id", "ts", "value")
+    out = asof_join(purchases, views, on="user_id")
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.round("asof_value", 4).alias("asof_value"),
+        F.col("asof_ts"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -497,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": _q_kg_triples,
         "json_extract": _q_json_extract,
         "sessionize": _q_sessionize,
+        "asof_join": _q_asof_join,
         "supplier_parts": _q_supplier_parts,
         "union_entities": _q_union_entities,
         "rollup_revenue": _q_rollup_revenue,
@@ -721,6 +740,24 @@ def oracle_sql() -> dict[str, str]:
                    {_lang_case_sql()} as lang_pred,
                    md5({_NORM}) as fp
             from documents
+        """,
+        "asof_join": """
+            with l as (select event_id, user_id, ts from events where event_type = 'purchase'),
+            r as (select user_id, ts, value from events where event_type = 'view'),
+            u as (
+              select user_id, ts, 1 as side, event_id,
+                     cast(null as double) as rvalue, cast(null as timestamp) as rts from l
+              union all
+              select user_id, ts, 0 as side, null, value, ts from r),
+            c as (
+              select *,
+                     last_value(rvalue ignore nulls) over w as asof_value,
+                     last_value(rts ignore nulls) over w as asof_ts
+              from u
+              window w as (partition by user_id order by ts asc, side asc rows unbounded preceding))
+            select cast(event_id as bigint) as event_id, cast(user_id as bigint) as user_id,
+                   round(asof_value, 4) as asof_value, asof_ts
+            from c where side = 1
         """,
         "sessionize": """
             with gapped as (
