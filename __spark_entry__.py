@@ -486,6 +486,29 @@ def _q_asof_join(spark, sf):
     )
 
 
+
+
+def _q_percentiles(spark, sf):
+    # exact interpolated percentiles + moments per group
+    e = _t(spark, sf, "events")
+    return e.groupBy(F.col("event_type").alias("event_type")).agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.avg("value"), 4).alias("mean"),
+        F.round(F.stddev_samp("value"), 4).alias("sd"),
+    )
+
+
+def _q_correlation(spark, sf):
+    # corr/covar between line-item price and quantity per return flag
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -516,6 +539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": _q_json_extract,
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
+        "percentiles": _q_percentiles,
+        "correlation": _q_correlation,
         "supplier_parts": _q_supplier_parts,
         "union_entities": _q_union_entities,
         "rollup_revenue": _q_rollup_revenue,
@@ -740,6 +765,21 @@ def oracle_sql() -> dict[str, str]:
                    {_lang_case_sql()} as lang_pred,
                    md5({_NORM}) as fp
             from documents
+        """,
+        "percentiles": """
+            select event_type,
+                   round(quantile_cont(value, 0.5), 4) as p50,
+                   round(quantile_cont(value, 0.9), 4) as p90,
+                   round(avg(value), 4) as mean,
+                   round(stddev_samp(value), 4) as sd
+            from events group by event_type
+        """,
+        "correlation": """
+            select l_returnflag as returnflag,
+                   round(corr(l_quantity, l_extendedprice), 4) as corr_qty_price,
+                   round(covar_samp(l_quantity, l_extendedprice), 4) as covar_qty_price,
+                   cast(count(*) as bigint) as n
+            from lineitem group by l_returnflag
         """,
         "asof_join": """
             with l as (select event_id, user_id, ts from events where event_type = 'purchase'),
