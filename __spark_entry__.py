@@ -22,6 +22,7 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 from llacie_spark.operators import dedup, similarity, textstats  # noqa: E402
+from llacie_spark.operators.porthash import portable_hash60, portable_hash60_sql  # noqa: E402
 
 DEFAULT_SF = "/root/testdata/sf0.001"
 
@@ -256,9 +257,17 @@ def _q_exact_dups(spark, sf):
     )
 
 
+_JACCARD_MAX_SHINGLE_DF = 1000  # hot-shingle cap — mirrored in _JACCARD_SQL
+
+
 def _q_jaccard_pairs(spark, sf):
     d = _t(spark, sf, "documents")
-    pairs = dedup.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    # the cap keeps the inverted-index self-join linear in corpus size even
+    # when a stopword shingle appears in a large fraction of documents; the
+    # oracle applies the identical document-frequency filter
+    pairs = dedup.jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=_JACCARD_MAX_SHINGLE_DF
+    )
     return pairs.select(
         F.col("doc_a").cast("long").alias("doc_a"),
         F.col("doc_b").cast("long").alias("doc_b"),
@@ -277,8 +286,13 @@ def _q_minhash_dedup(spark, sf):
 
 
 def _q_simhash_pairs(spark, sf):
+    # portable 60-bit variant (md5-derived token hashes) so the DuckDB oracle
+    # can recompute the exact signatures and brute-force the ground truth;
+    # the xxhash64 64-bit default stays the cheap pure-Spark scale path
     d = _t(spark, sf, "documents")
-    pairs = dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3)
+    pairs = dedup.simhash_pairs(
+        d, "doc_id", "text", max_hamming=3, bits=60, token_hash=portable_hash60
+    )
     return pairs.select(
         F.col("doc_a").cast("long").alias("doc_a"),
         F.col("doc_b").cast("long").alias("doc_b"),
@@ -562,17 +576,28 @@ sh as (select distinct doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] a
 sizes as (select doc_id, count(*) as sz from sh group by doc_id)
 """
 
-_JACCARD_SQL = f"""
-with {_SHINGLES_CTE},
+def _jaccard_sql(max_shingle_df: int | None) -> str:
+    """Exact shingle-Jaccard ground truth; the optional hot-shingle cap
+    mirrors dedup.jaccard_pairs(max_shingle_df=...) exactly (sizes are
+    computed on the *capped* shingle set, as in _pair_jaccard)."""
+    cap = ""
+    if max_shingle_df is not None:
+        cap = f""",
+hot as (select shingle from sh group by shingle having count(*) > {max_shingle_df}),
+sh2 as (select * from sh anti join hot using (shingle))"""
+    src = "sh2" if max_shingle_df is not None else "sh"
+    return f"""
+with {_SHINGLES_CTE}{cap},
+sizes2 as (select doc_id, count(*) as sz from {src} group by doc_id),
 common as (
   select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as c
-  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  from {src} a join {src} b on a.shingle = b.shingle and a.doc_id < b.doc_id
   group by 1, 2)
 select cast(doc_a as bigint) as doc_a, cast(doc_b as bigint) as doc_b,
        round(c * 1.0 / (sa.sz + sb.sz - c), 4) as jaccard
 from common
-join sizes sa on common.doc_a = sa.doc_id
-join sizes sb on common.doc_b = sb.doc_id
+join sizes2 sa on common.doc_a = sa.doc_id
+join sizes2 sb on common.doc_b = sb.doc_id
 where c * 1.0 / (sa.sz + sb.sz - c) >= 0.8
 """
 
@@ -606,7 +631,7 @@ def _lang_guess_sql() -> str:
 
 _QUALITY_EXPR = (
     "(cast(case when length(text) between 64 and 100000 then 0.4 else 0.0 end as double)"
-    " + cast(case when length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0"
+    " + cast(case when length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0"
     "   / greatest(length(text), 1) <= 0.2 then 0.3 else 0.0 end as double)"
     " + cast(case when len(list_filter(string_split(trim(text), ' '),"
     "   t -> list_contains(list_value('the','and','of','is','to'), t))) * 1.0"
@@ -632,6 +657,119 @@ ranked as (
 select cast(query_id as bigint) as query_id, cast(neighbor_id as bigint) as neighbor_id,
        cast(rank as bigint) as rank, round(cos, 4) as cos
 from ranked where rank <= 10
+"""
+
+
+_GOLDEN = REPO / "fixtures" / "golden"
+_VOCAB_CSV = REPO / "fixtures" / "vocab_pres_sx_v2.csv"
+
+
+def _simhash_sql(bits: int = 60, max_hamming: int = 3) -> str:
+    """Brute-force simhash ground truth: recompute every 60-bit signature
+    from the portable md5-derived token hashes, then exact Hamming over ALL
+    pairs (no banding) — verifying the Spark side's pigeonhole candidate
+    generation end-to-end."""
+    tok_hash = portable_hash60_sql("tok")
+    bit_sums = ", ".join(
+        f"sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end) as b{b}" for b in range(bits)
+    )
+    sig = " + ".join(f"(case when b{b} > 0 then (1::bigint << {b}) else 0::bigint end)" for b in range(bits))
+    return f"""
+with docs as (select doc_id, {_NORM} as norm from documents),
+toks as (select doc_id, unnest(string_split(norm, ' ')) as tok from docs),
+hashed as (select doc_id, {tok_hash} as h from toks where tok != ''),
+bitsums as (select doc_id, {bit_sums} from hashed group by doc_id),
+sigs as (select doc_id, {sig} as sig from bitsums)
+select cast(a.doc_id as bigint) as doc_a, cast(b.doc_id as bigint) as doc_b,
+       cast(bit_count(xor(a.sig, b.sig)) as bigint) as hamming
+from sigs a join sigs b on a.doc_id < b.doc_id
+where bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+"""
+
+
+def _media_features_sql() -> str:
+    """Independent re-computation of synthetic_media + FakeDecoder in SQL
+    over the committed golden interleaved-documents parquet (the corpus parse
+    is Python; everything downstream — media typing, payload synthesis,
+    digest, fake decode arithmetic — is recomputed here from scratch)."""
+    mt_hash = portable_hash60_sql("s.media_ref")
+    seed = (
+        "list_reduce(list_transform(range(1, 9), i -> "
+        "strpos('0123456789abcdef', substr(content_sha256, i::int, 1)) - 1), "
+        "(a, b) -> a * 16 + b)"
+    )
+    return f"""
+with docs as (select doc_id, unnest(spans) as s from read_parquet('{_GOLDEN}/reference_docs.parquet')),
+media as (
+  select doc_id, s.media_ref as media_ref, {mt_hash} % 3 as mt,
+         repeat(sha256(s.media_ref), 8) as payload
+  from docs where s.kind = 'media'),
+feat as (
+  select doc_id, media_ref,
+         case mt when 0 then 'image' when 1 then 'audio' else 'video' end as media_type,
+         cast(length(payload) as bigint) as n_bytes,
+         sha256(payload) as content_sha256
+  from media),
+seeded as (select *, {seed} as seed from feat)
+select doc_id, media_ref, media_type, n_bytes, content_sha256,
+       case when media_type = 'image' then cast(64 + seed % 1920 as int) end as width,
+       case when media_type = 'image' then cast(64 + (seed >> 8) % 1080 as int) end as height,
+       case when media_type != 'image' then round(0.5 + (seed % 6000) / 10.0, 1) end as duration_s,
+       'fake-deterministic' as decoder
+from seeded
+"""
+
+
+def _kg_triples_sql() -> str:
+    """Golden-fixture oracle: the committed expected-triples parquet
+    (generated by scripts/make_golden.py from the gold-gated pipeline,
+    P=0.98/R=0.99 vs the reference's annotations — see tests/test_gold_gate)
+    pins the exact extraction output against regressions."""
+    return f"""
+select episode_id, doc_id, pred, label_name, line_number
+from read_parquet('{_GOLDEN}/kg_triples.parquet')
+"""
+
+
+def _kg_relational_sql() -> str:
+    """Cross-implementation check made driver-visible: the relational
+    (salted candidate-join) linker must reproduce, row for row, the golden
+    triples emitted by the UDF greedy-matcher pipeline."""
+    return f"""
+select doc_id, label_name, line_number
+from read_parquet('{_GOLDEN}/kg_triples.parquet')
+"""
+
+
+def _kg_canonical_sql() -> str:
+    """Independent canonicalization oracle: DuckDB recursive CTE computes
+    the connected components of the vocab synonym graph from the raw CSV
+    (transitive closure -> min-member representative among canonical names),
+    mirroring operators/graph.py:canonical_map; applied to the golden
+    triples."""
+    return f"""
+with recursive
+conc as (select * from read_csv('{_VOCAB_CSV}', header = true)),
+e0 as (
+  select ngram as src, canonical_name as dst from conc
+  union
+  select synonym_of, canonical_name from conc
+  where synonym_of is not null and synonym_of != ''),
+sym as (select src as a, dst as b from e0 union select dst as a, src as b from e0),
+reach(node, r) as (
+  select a, a from sym
+  union
+  select reach.node, sym.b from reach join sym on reach.r = sym.a),
+comp as (select node, min(r) as component from reach group by node),
+canonicals as (select distinct canonical_name as node from conc),
+rep as (select component, min(comp.node) as canonical_id
+        from comp join canonicals using (node) group by component),
+mapping as (select comp.node as surface, rep.canonical_id
+            from comp join rep using (component))
+select t.episode_id, t.pred, t.label_name,
+       coalesce(m.canonical_id, t.label_name) as label_canonical, t.line_number
+from read_parquet('{_GOLDEN}/kg_triples.parquet') t
+left join mapping m on t.label_name = m.surface
 """
 
 
@@ -697,7 +835,10 @@ def oracle_sql() -> dict[str, str]:
             select cast(user_id as bigint) as user_id,
                    cast(count(*) as bigint) as n_events_24h
             from (select *, min(ts) over (partition by user_id) as first_ts from events)
-            where epoch(ts) - epoch(first_ts) < 86400
+            -- floor() mirrors Spark unix_timestamp's second truncation on
+            -- microsecond timestamps (un-floored epoch() can diverge when a
+            -- true delta straddles the 86400 s boundary)
+            where floor(epoch(ts)) - floor(epoch(first_ts)) < 86400
             group by user_id
         """,
         "topk": """
@@ -750,8 +891,8 @@ def oracle_sql() -> dict[str, str]:
             select fps.fp as fp, cast(doc_id as bigint) as doc_id
             from fps join dups on fps.fp = dups.fp
         """,
-        "jaccard_pairs": _JACCARD_SQL,
-        "minhash_dedup": _JACCARD_SQL,  # LSH+verify must equal exact at this scale
+        "jaccard_pairs": _jaccard_sql(_JACCARD_MAX_SHINGLE_DF),
+        "minhash_dedup": _jaccard_sql(None),  # LSH+verify must equal exact at this scale
         "knn_bruteforce": _knn_sql(),
         "embed_stats": """
             select cast(label as bigint) as label, cast(count(*) as bigint) as n,
@@ -846,6 +987,9 @@ def oracle_sql() -> dict[str, str]:
             join region on n_regionkey = r_regionkey
             group by rollup(r_name, n_name)
         """,
-        # simhash_pairs, kg_triples, kg_relational, kg_canonical,
-        # media_features: not SQL-expressible → rows-only checks
+        "simhash_pairs": _simhash_sql(),
+        "media_features": _media_features_sql(),
+        "kg_triples": _kg_triples_sql(),
+        "kg_relational": _kg_relational_sql(),
+        "kg_canonical": _kg_canonical_sql(),
     }

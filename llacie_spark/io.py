@@ -64,11 +64,12 @@ class SnapshotCatalog:
 
     # ----------------------------------------------------------------- api
 
-    def write_stage(self, df: DataFrame, name: str, mode: str = "overwrite", meta: dict | None = None) -> dict:
+    def write_stage(self, df: DataFrame, name: str, meta: dict | None = None) -> dict:
         """Materialize ``df`` as the next snapshot of ``name`` and commit.
 
-        A crash before ``_publish`` leaves the previous snapshot as the
-        readable state — rerunning the stage is safe (idempotent)."""
+        Snapshots are always full replacements (append semantics go through
+        :meth:`upsert`); a crash before ``_publish`` leaves the previous
+        snapshot as the readable state — rerunning the stage is safe."""
         cur = self.current_snapshot(name)
         snap_id = (cur["snapshot"] + 1) if cur else 0
         path = self.root / name / f"snap-{snap_id}"

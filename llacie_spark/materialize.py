@@ -78,18 +78,26 @@ def materialize_graph(
     """Write nodes/, edges/ (partitioned by pred, subj_bucket), metrics/.
     Returns row counts. With an Iceberg catalog these become three
     ``writeTo(...).partitionedBy(...)`` commits."""
-    nodes = build_nodes(triples)
-    edges = build_edges(triples, n_buckets)
-    metrics = edge_partition_metrics(edges)
-
-    nodes.write.mode("overwrite").parquet(f"{out_dir}/nodes")
-    edges.write.mode("overwrite").partitionBy("pred", "subj_bucket").parquet(
-        f"{out_dir}/edges"
+    spark = triples.sparkSession
+    # persist: nodes and edges both consume triples — without this the full
+    # upstream plan (including the Python extraction UDF) would execute once
+    # per write; metrics + counts then come from the *written* parquet so the
+    # pipeline runs exactly once and lineage stays consistent.
+    triples = triples.persist()
+    try:
+        build_nodes(triples).write.mode("overwrite").parquet(f"{out_dir}/nodes")
+        build_edges(triples, n_buckets).write.mode("overwrite").partitionBy(
+            "pred", "subj_bucket"
+        ).parquet(f"{out_dir}/edges")
+    finally:
+        triples.unpersist()
+    edges_written = spark.read.parquet(f"{out_dir}/edges")
+    edge_partition_metrics(edges_written).write.mode("overwrite").parquet(
+        f"{out_dir}/metrics"
     )
-    metrics.write.mode("overwrite").parquet(f"{out_dir}/metrics")
     return {
-        "nodes": nodes.count(),
-        "edges": edges.count(),
-        "partitions": metrics.count(),
+        "nodes": spark.read.parquet(f"{out_dir}/nodes").count(),
+        "edges": edges_written.count(),
+        "partitions": spark.read.parquet(f"{out_dir}/metrics").count(),
         "preds": [PRED_HAS_SYMPTOM],
     }

@@ -22,10 +22,26 @@ the keep-one policy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .textstats import fingerprint, normalized_text
+
+# At most one live shingle cache per session: these operators return lazy
+# DataFrames (the caller runs the action), so they can't unpersist after the
+# action themselves — instead each new call releases the previous call's
+# cache, bounding cached memory across repeated calls in one session.
+_live_shingle_cache: list[DataFrame] = []
+
+
+def _cache_shingles(sh: DataFrame) -> DataFrame:
+    while _live_shingle_cache:
+        _live_shingle_cache.pop().unpersist()
+    sh = sh.persist()
+    _live_shingle_cache.append(sh)
+    return sh
 
 
 # --------------------------------------------------------------------- exact
@@ -94,8 +110,12 @@ def jaccard_pairs(
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-duplicate pairs: (doc_a, doc_b, jaccard >= t)."""
-    sh = shingles(df, id_col, text_col, n).persist()  # sizes + both join sides
+    """Exact n-gram Jaccard near-duplicate pairs: (doc_a, doc_b, jaccard >= t).
+
+    Always pass ``max_shingle_df`` on real corpora: without it the inverted-
+    index self-join is quadratic in per-shingle document frequency and a hot
+    stopword shingle melts a reducer at scale."""
+    sh = _cache_shingles(shingles(df, id_col, text_col, n))  # sizes + both join sides
     return _pair_jaccard(sh, max_shingle_df).where(F.col("jaccard") >= threshold)
 
 
@@ -180,7 +200,7 @@ def minhash_dedup_pairs(
     # one shingle explosion feeds signatures, sizes, and verification —
     # persisted because three downstream branches would otherwise re-scan
     # and re-explode the full corpus (fatal at 100 TB, wasteful anywhere)
-    sh = shingles(df, id_col, text_col, n).persist()
+    sh = _cache_shingles(shingles(df, id_col, text_col, n))
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles_df=sh)
     cands = minhash_candidate_pairs(sigs, num_hashes, bands)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -207,24 +227,35 @@ def minhash_dedup_pairs(
 # ------------------------------------------------------------------- simhash
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash long): 64-bit SimHash over unigram token hashes.
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    token_hash: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """(doc_id, simhash long): ``bits``-bit SimHash over unigram token hashes.
 
     bit b of the signature = sign of sum over tokens of (+1 if bit b of
-    xxhash64(token) else -1). Expressed as one aggregate over the token
-    explosion with 64 conditional sums — a single shuffle, no Python."""
+    hash(token) else -1). Expressed as one aggregate over the token
+    explosion with ``bits`` conditional sums — a single shuffle, no Python.
+
+    ``token_hash`` defaults to ``xxhash64`` (the cheap scale path); pass
+    :func:`..porthash.portable_hash60` with ``bits=60`` for the variant whose
+    signatures a DuckDB oracle can recompute exactly."""
+    hash_fn = token_hash or F.xxhash64
     toks = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(F.split(normalized_text(text_col), " ")).alias("tok"))
         .where("tok != ''")
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", hash_fn(F.col("tok")))
     )
     bit_sums = [
         F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
-        for b in range(64)
+        for b in range(bits)
     ]
     agg = toks.groupBy("doc_id").agg(*bit_sums)
     sig = None
-    for b in range(64):
+    for b in range(bits):
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         sig = term if sig is None else sig.bitwiseXOR(term)
@@ -236,14 +267,17 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    bits: int = 64,
+    token_hash: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= k via the pigeonhole trick:
-    split the 64-bit signature into k+1 chunks; any pair within distance k
-    agrees on at least one chunk, so candidates come from k+1 equi-joins
-    (one shuffle each on a 16-bit key), then exact verification."""
-    sigs = simhash(df, id_col, text_col)
+    split the ``bits``-bit signature into k+1 chunks; any pair within
+    distance k agrees on at least one chunk, so candidates come from k+1
+    equi-joins (one shuffle each on a chunk-width key), then exact
+    verification with bit_count(xor)."""
+    sigs = simhash(df, id_col, text_col, bits=bits, token_hash=token_hash)
     chunks = max_hamming + 1
-    width = 64 // chunks
+    width = bits // chunks
     banded = sigs.select(
         "doc_id",
         "simhash",

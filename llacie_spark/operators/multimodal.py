@@ -41,7 +41,7 @@ MEDIA_FEATURES = T.StructType(
         T.StructField("media_ref", T.StringType(), False),
         T.StructField("media_type", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), True),
-        T.StructField("content_sha1", T.StringType(), True),
+        T.StructField("content_sha256", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("duration_s", T.DoubleType(), True),
@@ -62,12 +62,13 @@ class FakeDecoder:
         out = []
         for b, mt in zip(payloads, media_types):
             if b is None:
-                out.append({"n_bytes": None, "content_sha1": None, "width": None,
+                out.append({"n_bytes": None, "content_sha256": None, "width": None,
                             "height": None, "duration_s": None})
                 continue
-            h = hashlib.sha1(b).hexdigest()
+            # sha256 (not sha1) so the DuckDB oracle can recompute the digest
+            h = hashlib.sha256(b).hexdigest()
             seed = int(h[:8], 16)
-            meta = {"n_bytes": len(b), "content_sha1": h, "width": None,
+            meta = {"n_bytes": len(b), "content_sha256": h, "width": None,
                     "height": None, "duration_s": None}
             if mt == "image":
                 meta["width"] = 64 + seed % 1920
@@ -101,15 +102,18 @@ def synthetic_media(spark: SparkSession, documents: DataFrame) -> DataFrame:
     """Derive a deterministic media table from the documents' media spans:
     payload bytes are a hash-expanded function of the media_ref (no files
     needed, same bytes every run)."""
+    from .porthash import portable_hash60
+
+    # portable_hash60 is non-negative by construction, so % 3 lands uniformly
+    # in {0,1,2} (a signed xxhash64 % 3 would leak remainders -1/-2 into the
+    # otherwise-branch) — and the DuckDB oracle can recompute it exactly.
+    mt = F.pmod(portable_hash60(F.col("s.media_ref")), F.lit(3))
     refs = documents.select(
         "doc_id", F.explode("spans").alias("s")
     ).where(F.col("s.kind") == "media").select(
         "doc_id",
         F.col("s.media_ref").alias("media_ref"),
-        F.when(F.xxhash64("s.media_ref") % 3 == 0, "image")
-        .when(F.xxhash64("s.media_ref") % 3 == 1, "audio")
-        .otherwise("video")
-        .alias("media_type"),
+        F.when(mt == 0, "image").when(mt == 1, "audio").otherwise("video").alias("media_type"),
     )
     # payload = sha2 hex of the ref repeated — opaque, deterministic, binary
     return refs.withColumn(

@@ -167,8 +167,10 @@ def test_media_pipeline(spark):
     feats = multimodal.extract_media_features(media)
     rows = feats.collect()
     assert len(rows) == n_media
+    types = {r.media_type for r in rows}
+    assert types == {"image", "audio", "video"}, f"skewed media typing: {types}"
     for r in rows:
-        assert r.n_bytes > 0 and len(r.content_sha1) == 40
+        assert r.n_bytes > 0 and len(r.content_sha256) == 64
         if r.media_type == "image":
             assert r.width >= 64 and r.height >= 64 and r.duration_s is None
         else:
