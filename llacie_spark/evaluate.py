@@ -151,6 +151,22 @@ def first_annotator_labels(gold: DataFrame) -> DataFrame:
     )
 
 
+def _sparse_confusion(truth: DataFrame, pred: DataFrame, n_eps: int, n_terms: int) -> ConfusionCounts:
+    """TP/FP/FN from a full outer join of two sparse (episode, term) sets;
+    TN is arithmetic over the n_eps × n_terms universe — the dense matrix is
+    never materialized."""
+    joined = truth.withColumn("t", F.lit(1)).join(
+        pred.withColumn("p", F.lit(1)), ["episode_id", "label_name"], "full_outer"
+    )
+    agg = joined.agg(
+        F.sum(F.when(F.col("t").isNotNull() & F.col("p").isNotNull(), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("t").isNull() & F.col("p").isNotNull(), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("t").isNotNull() & F.col("p").isNull(), 1).otherwise(0)).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = agg.tp or 0, agg.fp or 0, agg.fn or 0
+    return ConfusionCounts(tp=tp, fp=fp, fn=fn, tn=n_eps * n_terms - tp - fp - fn)
+
+
 def confusion_counts(
     triples: DataFrame,
     gold: DataFrame,
@@ -175,15 +191,40 @@ def confusion_counts(
         .distinct()
         .join(truth_eps, "episode_id", "left_semi")
     )
+    return _sparse_confusion(truth, pred, truth_eps.count(), n_terms)
 
-    joined = truth.withColumn("t", F.lit(1)).join(
-        pred.withColumn("p", F.lit(1)), ["episode_id", "label_name"], "full_outer"
+
+def inter_rater_counts(
+    gold: DataFrame,
+    n_terms: int,
+    truth_annotator: str | None = None,
+    other_annotator: str | None = None,
+) -> ConfusionCounts:
+    """Inter-labeler reliability: a second human's labels evaluated as
+    predictions against the first human's truth (reference
+    ``llacie/app.py:257-269``, the evaluator CLI's ``--also-labeled-by`` /
+    second-human mode).
+
+    Reference semantics preserved: the universe is restricted to episodes
+    BOTH annotators labeled — the truth side is filtered to the other
+    human's episodes ("don't penalize for any episodes not labeled by the
+    other human") and vice versa. ``.kappa`` on the result is the
+    inter-rater agreement the reference prints.
+
+    Annotators default to the first two distinct ``annotator`` values in
+    sort order."""
+    if truth_annotator is None or other_annotator is None:
+        names = [r.annotator for r in gold.select("annotator").distinct().orderBy("annotator").limit(2).collect()]
+        if len(names) < 2:
+            raise ValueError("inter-rater evaluation needs two annotators in the gold set")
+        truth_annotator = truth_annotator or names[0]
+        other_annotator = other_annotator or names[1]
+
+    a = gold.where(F.col("annotator") == truth_annotator).select("episode_id", "label_name").distinct()
+    b = gold.where(F.col("annotator") == other_annotator).select("episode_id", "label_name").distinct()
+    shared_eps = a.select("episode_id").distinct().join(
+        b.select("episode_id").distinct(), "episode_id", "left_semi"
     )
-    agg = joined.agg(
-        F.sum(F.when(F.col("t").isNotNull() & F.col("p").isNotNull(), 1).otherwise(0)).alias("tp"),
-        F.sum(F.when(F.col("t").isNull() & F.col("p").isNotNull(), 1).otherwise(0)).alias("fp"),
-        F.sum(F.when(F.col("t").isNotNull() & F.col("p").isNull(), 1).otherwise(0)).alias("fn"),
-    ).collect()[0]
-    n_eps = truth_eps.count()
-    tn = n_eps * n_terms - agg.tp - agg.fp - agg.fn
-    return ConfusionCounts(tp=agg.tp or 0, fp=agg.fp or 0, fn=agg.fn or 0, tn=tn)
+    truth = a.join(shared_eps, "episode_id", "left_semi")
+    pred = b.join(shared_eps, "episode_id", "left_semi")
+    return _sparse_confusion(truth, pred, shared_eps.count(), n_terms)

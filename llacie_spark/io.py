@@ -83,12 +83,30 @@ class SnapshotCatalog:
             return None
         return spark.read.parquet(str(self.root / name / f"snap-{cur['snapshot']}"))
 
-    def unfinished(self, spark: SparkSession, input_df: DataFrame, name: str, key: str | list[str]) -> DataFrame:
-        """Input rows not yet present in the committed output (J1-J3)."""
+    def unfinished(
+        self,
+        spark: SparkSession,
+        input_df: DataFrame,
+        name: str,
+        key: str | list[str],
+        redo_older_than=None,
+        updated_col: str = "updated_at",
+    ) -> DataFrame:
+        """Input rows not yet present in the committed output (J1-J3).
+
+        ``redo_older_than`` (datetime or ISO string) marks committed rows
+        whose ``updated_col`` predates the cutoff as stale: they no longer
+        count as done, so the stale subset is re-extracted — the reference's
+        ``--redo-older-than`` staleness reprocessing after a strategy
+        upgrade (``llacie/scripts/llacie.py:114-116``; ``llacie/db.py:
+        445-449`` adds ``last_updated >= newer_than`` to the done-set
+        query, which is the same predicate)."""
         keys = [key] if isinstance(key, str) else list(key)
         done = self.read_stage(spark, name)
         if done is None:
             return input_df
+        if redo_older_than is not None:
+            done = done.where(F.col(updated_col) >= F.lit(redo_older_than))
         return input_df.join(done.select(*keys).distinct(), keys, "left_anti")
 
     def upsert(self, spark: SparkSession, df: DataFrame, name: str, key: str | list[str]) -> dict:

@@ -106,30 +106,57 @@ def ann_lsh_topk(
     corpus: DataFrame,
     k: int = 10,
     n_planes: int = 8,
+    n_tables: int = 1,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: compare only within matching hyperplane buckets.
+    """Approximate top-k via multi-table hyperplane LSH.
 
-    Recall/cost dial = n_planes (8 planes → 256 buckets → ~1/256 of the
-    corpus scanned per query). Equi-join on bucket replaces the cross-join:
-    this is the plan shape that survives a 10^12-row corpus."""
-    planes = hyperplanes(dim, n_planes, seed)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    Recall/cost dials (standard LSH tradeoff, measured in COVERAGE.md §recall):
+    - ``n_planes`` (k): each table has 2^k buckets → each table scans
+      ~1/2^k of the corpus per query; per-plane collision probability for a
+      pair at angle θ is 1 − θ/π, so a table finds a neighbor with p^k.
+    - ``n_tables`` (L): independent plane sets; recall = 1 − (1 − p^k)^L,
+      shuffle volume O(rows × L).
+
+    Hyperplane LSH pays off when target neighbors are high-cosine (near-dup
+    retrieval: cos ≥ 0.95 → p ≈ 0.9 → k=8, L=8 reaches ~99 % recall while
+    scanning ~3 % of the corpus per query). For mid-cosine top-k
+    (cos ≈ 0.3, p ≈ 0.6) no setting beats scanning most of the corpus —
+    use brute force or an IVF/graph index instead; the measured table in
+    COVERAGE.md quantifies exactly that.
+
+    Plan shape at 10^12 rows: corpus explodes to L bucket entries, candidate
+    generation is an equi-join on (table, bucket), pairs are deduplicated
+    BEFORE vectors are re-gathered and scored — no cross-join anywhere."""
+    tables = [hyperplanes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)]
+
+    def bucketed(df, out_id):
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(
+                F.array(*[lsh_bucket(F.col(vec_col), pl) for pl in tables])
+            ).alias("table", "bucket"),
+        )
+
+    cands = (
+        bucketed(queries, "query_id")
+        .join(bucketed(corpus, "neighbor_id"), ["table", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()  # a pair may collide in several tables; score it once
     )
     scored = (
-        q.join(c, "bucket")
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        cands.join(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))),
+            "query_id",
+        )
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())

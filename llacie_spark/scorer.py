@@ -559,8 +559,14 @@ class LLMScorer:
     name = "feature.presenting_sx.llm"
     version = "0.1.0"
 
-    def __init__(self, scorer_fn=None):
+    def __init__(self, scorer_fn=None, raw_output: bool = False):
+        """``raw_output=True`` adapts a non-schema-constrained backend whose
+        ``scorer_fn`` returns raw prose (``list[str]``) instead of structured
+        mention arrays: each response is run through the X3 list cleanup
+        (``operators/listclean.py``, reference text_wrangling.py:70-77);
+        unparseable responses yield no mentions."""
         self._scorer_fn = scorer_fn
+        self._raw_output = raw_output
 
     def score_batch(self, texts: Sequence[str | None]) -> list[list[str]]:
         if self._scorer_fn is None:
@@ -568,7 +574,12 @@ class LLMScorer:
                 "LLMScorer needs an injected batched model backend; "
                 "use GazetteerScorer for deterministic runs"
             )
-        return self._scorer_fn([t or "" for t in texts])
+        out = self._scorer_fn([t or "" for t in texts])
+        if not self._raw_output:
+            return out
+        from .operators.listclean import cleanup_mention_list
+
+        return [cleanup_mention_list(raw) or [] for raw in out]
 
 
 def iter_score(scorer, text_iter: Iterable[str | None], batch_size: int = 256):

@@ -69,3 +69,40 @@ def test_byterm_injectable_scorer(spark, vocab):
 
     out = extract_mentions_byterm(sections, vocab, presence_scorer=fake).collect()
     assert list(out[0].mentions) == ["fever"]
+
+
+def test_inter_rater_counts_and_kappa(spark):
+    """Two-annotator agreement (reference llacie/app.py:257-269): annotator2
+    evaluated as predictions vs annotator1 truth, universe restricted to
+    episodes both labeled."""
+    from llacie_spark.evaluate import inter_rater_counts
+
+    rows = [
+        # annotator1 labeled episodes 1,2,3; annotator2 labeled 2,3,4
+        (1, "fever", "ann1"),
+        (2, "fever", "ann1"), (2, "chills", "ann1"),
+        (3, "cough", "ann1"),
+        (2, "fever", "ann2"),
+        (3, "cough", "ann2"), (3, "rash", "ann2"),
+        (4, "fever", "ann2"),
+    ]
+    gold = spark.createDataFrame(rows, "episode_id long, label_name string, annotator string")
+    cc = inter_rater_counts(gold, n_terms=5)
+    # shared episodes {2,3}: TP = (2,fever),(3,cough); FN = (2,chills);
+    # FP = (3,rash); TN = 2*5 - 4
+    assert (cc.tp, cc.fp, cc.fn, cc.tn) == (2, 1, 1, 6)
+    assert abs(cc.kappa - (0.8 - 0.58) / (1 - 0.58)) < 1e-9
+
+    # explicit annotator selection flips roles
+    cc_rev = inter_rater_counts(gold, n_terms=5, truth_annotator="ann2", other_annotator="ann1")
+    assert (cc_rev.tp, cc_rev.fp, cc_rev.fn) == (2, 1, 1)
+
+
+def test_inter_rater_requires_two_annotators(spark):
+    from llacie_spark.evaluate import inter_rater_counts
+
+    gold = spark.createDataFrame(
+        [(1, "fever", "ann1")], "episode_id long, label_name string, annotator string"
+    )
+    with pytest.raises(ValueError, match="two annotators"):
+        inter_rater_counts(gold, n_terms=3)

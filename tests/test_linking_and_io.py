@@ -168,3 +168,29 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("drop table bt_a")
         spark.sql("drop table bt_b")
+
+
+def test_unfinished_redo_older_than(spark, tmp_path):
+    """Staleness reprocessing (reference --redo-older-than): committed rows
+    whose updated_at predates the cutoff count as unfinished again."""
+    import datetime
+
+    from llacie_spark.io import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    done = spark.createDataFrame(
+        [(1, datetime.datetime(2026, 1, 1)), (2, datetime.datetime(2026, 1, 1)),
+         (3, datetime.datetime(2026, 6, 1)), (4, datetime.datetime(2026, 6, 1))],
+        "doc_id long, updated_at timestamp",
+    )
+    cat.write_stage(done, "extracted")
+    inp = spark.range(1, 6).select(F.col("id").alias("doc_id"))
+
+    fresh = {r.doc_id for r in cat.unfinished(spark, inp, "extracted", "doc_id").collect()}
+    assert fresh == {5}
+
+    redo = cat.unfinished(
+        spark, inp, "extracted", "doc_id",
+        redo_older_than=datetime.datetime(2026, 3, 1),
+    )
+    assert {r.doc_id for r in redo.collect()} == {1, 2, 5}
