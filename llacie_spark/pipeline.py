@@ -169,42 +169,70 @@ def episode_triples(
     linked: DataFrame,
     doc_meta: DataFrame,
     time_limit_s: int = SECS_IN_24H,
+    broadcast_winners: bool = False,
 ) -> DataFrame:
     """Collapse per-note matches into per-episode (subj, pred, obj) triples.
 
     Reference semantics (``llacie/db.py:237-275`` + pres_sx_eplab2): among an
     episode's qualifying notes (cohort flags pass, service within 24 h of
     episode start — filters F2/F4), take the *earliest* note that produced
-    features (argmin join J4, Postgres ``DISTINCT ON`` ≡ rank-1 window), and
-    emit one triple per matched term with the earliest mention line number.
+    features (argmin join J4, Postgres ``DISTINCT ON`` ≡ rank-1), and emit
+    one triple per matched term with the earliest mention line number.
 
-    Scale notes: the join to doc_meta is broadcast when small / shuffle-hash
-    otherwise on doc_id; the argmin window shuffles once on episode_id —
-    the same shuffle the subsequent per-episode grouping needs, so Catalyst
-    reuses the exchange. AQE handles episode skew.
+    Scale shape (this is the plan that survives 100 TB):
+
+    - the argmin runs over a SLIM projection — (episode_id, delta, doc_id,
+      matches) at ~100 bytes/row — as a ``min_by`` hash aggregation, not a
+      sort-window. Partial (map-side) aggregation keeps one candidate per
+      (episode, map partition), so the exchange moves winners-per-partition,
+      never every qualifying note; no sort, and document payloads never
+      enter this shuffle. (A sort-window here would shuffle the full text
+      payload of every qualifying note: ~2 KB/row × corpus — the measured
+      8→32-core drag in BENCH/profile_scaling.)
+    - the fat ``spans`` column is re-attached AFTER winner selection by a
+      doc_id join against the pre-UDF side of the plan. Catalyst prunes the
+      (nondeterministic) extraction UDF out of that branch — verified by
+      tests/test_plans.py — so extraction still executes exactly once; the
+      branch is a 2-column re-scan of documents restricted to winners.
+    - the winners→spans join is left to AQE (default): at runtime the slim
+      winners side converts to a broadcast join when it fits, so the
+      documents side never shuffles; beyond broadcast capacity it degrades
+      to a shuffle that still moves only 2 columns. ``broadcast_winners=
+      True`` forces the hint — measured SLOWER here (a forced broadcast
+      whose build side contains the extraction UDF made AQE execute that
+      subtree twice under count-only consumers), so prefer the default.
     """
-    from pyspark.sql.window import Window
-
+    delta = (
+        F.unix_timestamp("date_of_service_ts") - F.unix_timestamp("episode_start_ts")
+    ).alias("delta")
     qualifying = (
-        linked.join(doc_meta, "doc_id")
+        linked.select("doc_id", "section_text", "matches")  # slim: no payloads
+        .join(doc_meta, "doc_id")
         .where(F.col("infection_criteria") & ~F.col("excl_st0_combined"))  # F2
         .where(F.col("note_type") == "H&P")  # F1
-        .where(
-            F.unix_timestamp("date_of_service_ts") - F.unix_timestamp("episode_start_ts")
-            < F.lit(time_limit_s)
-        )  # F4
+        .withColumn("delta", delta)
+        .where(F.col("delta") < F.lit(time_limit_s))  # F4
         # J7: qualify on section/feature presence (a scored note with zero
         # matches still wins the argmin and yields no labels — reference
         # get_earliest_notes_with_feature semantics, db.py:237-275)
         .where(F.col("section_text").isNotNull() & F.col("matches").isNotNull())
     )
-    w = Window.partitionBy("episode_id").orderBy(
-        (F.unix_timestamp("date_of_service_ts") - F.unix_timestamp("episode_start_ts")).asc(),
-        F.col("doc_id").asc(),  # deterministic tie-break
+    # rank-1 ≡ min_by over the (delta, doc_id) sort key: lexicographic struct
+    # ordering keeps the deterministic doc_id tie-break
+    earliest = qualifying.groupBy("episode_id").agg(
+        F.min_by(
+            F.struct("doc_id", "matches"), F.struct(F.col("delta"), F.col("doc_id"))
+        ).alias("w")
+    ).select(
+        "episode_id",
+        F.col("w.doc_id").alias("doc_id"),
+        F.col("w.matches").alias("matches"),
     )
-    earliest = qualifying.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+    if broadcast_winners:
+        earliest = F.broadcast(earliest)
+    spans_side = linked.select("doc_id", "spans")  # UDF pruned out of this branch
 
-    triples = earliest.select(
+    triples = earliest.join(spans_side, "doc_id").select(
         "episode_id",
         "doc_id",
         F.lit(PRED_HAS_SYMPTOM).alias("pred"),

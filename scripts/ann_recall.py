@@ -1,0 +1,127 @@
+"""Measure ann_lsh_topk recall@k vs brute_force_topk (VERDICT round-1 item 7).
+
+Two regimes, because hyperplane LSH's usefulness depends on the target
+cosine (see ann_lsh_topk docstring):
+
+1. near-dup retrieval (planted perturbations, cos >= ~0.95) — the regime
+   ANN is FOR; recall should be high at modest (n_planes, n_tables).
+2. mid-cosine top-k over the sf0.01 embeddings (random-ish vectors) — the
+   regime where LSH is documented NOT to pay off; the measured numbers
+   quantify that honestly.
+
+Prints a markdown table for COVERAGE.md plus the candidate-scan fraction
+(mean candidates per query / corpus size) — recall without cost is
+meaningless.
+
+Usage: python scripts/ann_recall.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+K = 10
+N_QUERIES = 50
+SETTINGS = [(8, 1), (8, 4), (8, 8), (12, 8), (16, 16)]
+
+
+def planted_corpus(spark, n_base=400, n_queries=N_QUERIES, dim=64, dups_per_query=12, noise=0.12):
+    """Base vectors + per-query planted near-duplicates (cos ~ 0.95-0.99)."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(n_base, dim))
+    rows = []
+    vid = 0
+    queries = []
+    for i in range(n_base):
+        rows.append((vid, [float(x) for x in base[i]]))
+        if i < n_queries:
+            queries.append(vid)
+        vid += 1
+    for qi in range(n_queries):
+        for _ in range(dups_per_query):
+            v = base[qi] + noise * rng.normal(size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, df.where(df.vec_id.isin(queries))
+
+
+def measure(spark, queries, corpus, dim, regime):
+    from pyspark.sql import functions as F
+
+    from llacie_spark.operators.similarity import ann_lsh_topk, brute_force_topk, hyperplanes, lsh_bucket
+
+    corpus = corpus.cache()
+    n_corpus = corpus.count()
+    truth = brute_force_topk(queries, corpus, k=K, vec_col="embedding").select(
+        "query_id", "neighbor_id"
+    )
+    truth_set = {(r.query_id, r.neighbor_id) for r in truth.collect()}
+    out = []
+    for n_planes, n_tables in SETTINGS:
+        got = ann_lsh_topk(
+            queries, corpus, k=K, n_planes=n_planes, n_tables=n_tables, dim=dim
+        ).select("query_id", "neighbor_id")
+        got_set = {(r.query_id, r.neighbor_id) for r in got.collect()}
+        recall = len(got_set & truth_set) / len(truth_set)
+        # candidate fraction: distinct candidate pairs / (n_queries * corpus)
+        tables = [hyperplanes(dim, n_planes, 42 + 7919 * t) for t in range(n_tables)]
+
+        def bucketed(df, out_id):
+            return df.select(
+                F.col("vec_id").alias(out_id),
+                F.posexplode(
+                    F.array(*[lsh_bucket(F.col("embedding"), pl) for pl in tables])
+                ).alias("table", "bucket"),
+            )
+
+        n_cand = (
+            bucketed(queries, "query_id")
+            .join(bucketed(corpus, "neighbor_id"), ["table", "bucket"])
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+            .count()
+        )
+        frac = n_cand / (queries.count() * n_corpus)
+        out.append((n_planes, n_tables, recall, frac))
+        print(
+            f"[{regime}] planes={n_planes:>2} tables={n_tables:>2} "
+            f"recall@{K}={recall:.3f} scanned={frac:.3%}",
+            flush=True,
+        )
+    corpus.unpersist()
+    return out
+
+
+def main():
+    from llacie_spark.session import get_spark
+
+    spark = get_spark(app_name="ann-recall", master="local[8]", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    planted, pq_queries = planted_corpus(spark)
+    near = measure(spark, pq_queries, planted, dim=64, regime="near-dup")
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.orderBy("vec_id").limit(N_QUERIES)
+    mid = measure(spark, queries, emb, dim=dim, regime="mid-cos")
+
+    print("\n| regime | n_planes | n_tables | recall@10 | corpus scanned/query |")
+    print("|---|---|---|---|---|")
+    for regime, rows in (("near-dup (planted, cos>=0.95)", near), ("mid-cosine (sf0.01)", mid)):
+        for p, t, r, f in rows:
+            print(f"| {regime} | {p} | {t} | {r:.3f} | {f:.2%} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

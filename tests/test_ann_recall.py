@@ -1,0 +1,56 @@
+"""ANN recall floor: ann_lsh_topk must retrieve planted near-duplicates.
+
+Hyperplane LSH's contract regime is high-cosine retrieval (near-dup search);
+this pins a measured floor so a user can trust ANN before swapping it in for
+brute force. The full measured recall/cost table (both regimes, more
+settings) lives in COVERAGE.md and is produced by scripts/ann_recall.py.
+"""
+
+import numpy as np
+import pytest
+
+from llacie_spark.operators.similarity import ann_lsh_topk, brute_force_topk
+
+DIM = 32
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(120, DIM))
+    rows, vid = [], 0
+    query_ids = []
+    for i in range(120):
+        rows.append((vid, [float(x) for x in base[i]]))
+        if i < 15:
+            query_ids.append(vid)
+        vid += 1
+    for qi in range(15):  # 8 near-dups per query, cos ~ 0.95+
+        for _ in range(8):
+            v = base[qi] + 0.12 * rng.normal(size=DIM)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    queries = corpus.where(corpus.vec_id.isin(query_ids))
+    return queries, corpus
+
+
+def _pairs(df):
+    return {(r.query_id, r.neighbor_id) for r in df.select("query_id", "neighbor_id").collect()}
+
+
+def test_ann_recall_floor_on_near_dups(spark, planted):
+    queries, corpus = planted
+    truth = _pairs(brute_force_topk(queries, corpus, k=8))
+    got = _pairs(ann_lsh_topk(queries, corpus, k=8, n_planes=6, n_tables=6, dim=DIM))
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.85, f"recall@8 {recall:.3f} below floor"
+
+
+def test_more_tables_monotonically_help(spark, planted):
+    """L=1 vs L=6: multi-table probing must not reduce recall."""
+    queries, corpus = planted
+    truth = _pairs(brute_force_topk(queries, corpus, k=8))
+    r1 = len(_pairs(ann_lsh_topk(queries, corpus, k=8, n_planes=6, n_tables=1, dim=DIM)) & truth)
+    r6 = len(_pairs(ann_lsh_topk(queries, corpus, k=8, n_planes=6, n_tables=6, dim=DIM)) & truth)
+    assert r6 >= r1
