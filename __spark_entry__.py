@@ -275,6 +275,47 @@ def _q_jaccard_pairs(spark, sf):
     )
 
 
+def _q_dedup_keep_best(spark, sf):
+    """End-to-end dedup keep-one policy: near-dup pairs -> connected-
+    component clusters -> keep the max-quality member (doc id tie-break)."""
+    d = _t(spark, sf, "documents")
+    pairs = dedup.jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=_JACCARD_MAX_SHINGLE_DF
+    ).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+    )
+    quality = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        textstats.quality_score("text").alias("quality"),
+    )
+    out = dedup.dedup_keep_best(pairs, quality)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("keep_doc_id").cast("long").alias("keep_doc_id"),
+        "is_kept",
+    )
+
+
+def _q_stratified_sample(spark, sf):
+    """Deterministic training-mix sampling: per-language keep rates decided
+    by a portable hash of the doc id — shuffle-free, reproducible, and
+    engine-independent (the DuckDB oracle reproduces the exact sample)."""
+    from llacie_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    out = stratified_sample(
+        d,
+        textstats.lang_guess("text"),
+        rates={"en": 0.5, "und": 0.125},  # binary-exact rates: no FP-edge
+        default_rate=0.25,
+        id_col="doc_id",
+        salt="mix-v1",
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "stratum")
+
+
 def _q_minhash_dedup(spark, sf):
     d = _t(spark, sf, "documents")
     pairs = dedup.minhash_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.8)
@@ -545,6 +586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dups": _q_exact_dups,
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_dedup": _q_minhash_dedup,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "stratified_sample": _q_stratified_sample,
         "simhash_pairs": _q_simhash_pairs,
         "knn_bruteforce": _q_knn_bruteforce,
         "embed_stats": _q_embed_stats,
@@ -600,6 +643,47 @@ join sizes2 sa on common.doc_a = sa.doc_id
 join sizes2 sb on common.doc_b = sb.doc_id
 where c * 1.0 / (sa.sz + sb.sz - c) >= 0.8
 """
+
+def _dedup_keep_best_sql(max_shingle_df: int) -> str:
+    """Independent re-derivation: jaccard pairs (same capped ground truth) ->
+    recursive-CTE connected components -> max-quality keeper per cluster
+    with the doc-id tie-break (mirrors dedup.dedup_keep_best)."""
+    return f"""
+with recursive
+pairs as ({_jaccard_sql(max_shingle_df)}),
+sym as (select doc_a as a, doc_b as b from pairs
+        union select doc_b, doc_a from pairs),
+reach(node, r) as (
+  select a, a from sym
+  union
+  select reach.node, sym.b from reach join sym on reach.r = sym.a),
+comp as (select node, min(r) as component from reach group by node),
+q as (select cast(doc_id as bigint) as node, {_QUALITY_EXPR} as q from documents),
+ranked as (
+  select comp.node, comp.component, q.q,
+         row_number() over (partition by comp.component
+                            order by q.q desc, comp.node asc) as rn
+  from comp join q using (node)),
+keep as (select component, node as keep_doc_id from ranked where rn = 1)
+select cast(ranked.node as bigint) as doc_id,
+       cast(ranked.component as bigint) as cluster,
+       cast(keep.keep_doc_id as bigint) as keep_doc_id,
+       ranked.node = keep.keep_doc_id as is_kept
+from ranked join keep using (component)
+"""
+
+
+def _stratified_sample_sql() -> str:
+    h = portable_hash60_sql("cast(doc_id as varchar)", salt="mix-v1")
+    lang = _lang_case_sql()
+    return f"""
+with s as (select cast(doc_id as bigint) as doc_id, {lang} as stratum,
+                  {h} % 10000 as bucket
+           from documents)
+select doc_id, stratum from s
+where bucket < case stratum when 'en' then 5000 when 'und' then 1250 else 2500 end
+"""
+
 
 _LANG_MARKERS_SQL = {
     lang: "list_value(" + ", ".join(f"'{w}'" for w in ws) + ")"
@@ -892,6 +976,8 @@ def oracle_sql() -> dict[str, str]:
             from fps join dups on fps.fp = dups.fp
         """,
         "jaccard_pairs": _jaccard_sql(_JACCARD_MAX_SHINGLE_DF),
+        "dedup_keep_best": _dedup_keep_best_sql(_JACCARD_MAX_SHINGLE_DF),
+        "stratified_sample": _stratified_sample_sql(),
         "minhash_dedup": _jaccard_sql(None),  # LSH+verify must equal exact at this scale
         "knn_bruteforce": _knn_sql(),
         "embed_stats": """

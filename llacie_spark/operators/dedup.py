@@ -312,3 +312,47 @@ def simhash_pairs(
         "doc_b",
         F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+def dedup_keep_best(
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+) -> DataFrame:
+    """Near-dup pairs -> per-cluster keep decision: the keep-one policy.
+
+    Clusters = connected components over the pair graph (dup-of is
+    transitive at a fixed threshold only approximately; CC is the standard
+    conservative closure — MinHashLSH dedup in every large-corpus pipeline
+    does the same). Within each cluster keep the best document: max
+    ``quality_col``, doc id ascending as the deterministic tie-break.
+
+    Output: one row per clustered document — (doc_id, cluster, keep_doc_id,
+    is_kept); unclustered documents (no dup edge) are absent, i.e. kept by
+    definition. Scale shape: CC is O(log diameter) key-only shuffles
+    (operators/graph.py); the keeper choice is one ``max_by`` aggregation on
+    cluster id; quality joins in by doc id before the agg, so payloads never
+    enter the iteration.
+    """
+    from .graph import connected_components
+
+    comp = connected_components(pairs, src=pair_a, dst=pair_b)
+    q = quality.select(F.col(id_col).alias("node"), F.col(quality_col).alias("_q"))
+    clustered = comp.join(q, "node")
+    keeper = clustered.groupBy("component").agg(
+        F.max_by("node", F.struct(F.col("_q"), (-F.col("node")).alias("_neg"))).alias(
+            "keep_doc_id"
+        )
+    )
+    return (
+        clustered.join(keeper, "component")
+        .select(
+            F.col("node").alias(id_col),
+            F.col("component").alias("cluster"),
+            "keep_doc_id",
+            (F.col("node") == F.col("keep_doc_id")).alias("is_kept"),
+        )
+    )

@@ -1,0 +1,64 @@
+"""stratified_sample determinism/rates + dedup_keep_best cluster policy."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from llacie_spark.operators.dedup import dedup_keep_best
+from llacie_spark.operators.sampling import RESOLUTION, keep_bucket, stratified_sample
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(4000)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_stratified_rates_and_determinism(spark, docs):
+    out = stratified_sample(
+        docs, F.col("lang"), rates={"en": 0.5, "de": 0.125}, id_col="doc_id", salt="t"
+    )
+    counts = {r.stratum: r.n for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    # 2000 docs per stratum; hash-uniformity tolerance ~4 sigma
+    assert abs(counts["en"] - 1000) < 90
+    assert abs(counts["de"] - 250) < 60
+    # deterministic: identical output on a second run
+    again = stratified_sample(
+        docs, F.col("lang"), rates={"en": 0.5, "de": 0.125}, id_col="doc_id", salt="t"
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(r.doc_id for r in again.collect())
+
+
+def test_stratified_sample_is_monotone_in_rate(spark, docs):
+    """A row kept at rate r stays kept at any rate >= r (hash coin is fixed):
+    the property that makes mix re-weighing incremental, not a resample."""
+    small = stratified_sample(docs, F.col("lang"), rates={"en": 0.1, "de": 0.1}, salt="t")
+    big = stratified_sample(docs, F.col("lang"), rates={"en": 0.4, "de": 0.4}, salt="t")
+    assert small.join(big, "doc_id", "left_anti").count() == 0
+
+
+def test_keep_bucket_salt_changes_sample(spark, docs):
+    a = docs.where(keep_bucket(F.col("doc_id"), "s1") < RESOLUTION // 4)
+    b = docs.where(keep_bucket(F.col("doc_id"), "s2") < RESOLUTION // 4)
+    ids_a = {r.doc_id for r in a.collect()}
+    ids_b = {r.doc_id for r in b.collect()}
+    assert ids_a != ids_b  # different salts -> different (deterministic) coins
+
+
+def test_dedup_keep_best_clusters_and_policy(spark):
+    # two clusters: {1,2,3} (chain 1-2, 2-3) and {10,11}; 99 is unclustered
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (10, 0.1), (11, 0.1), (99, 1.0)],
+        "doc_id long, quality double",
+    )
+    out = {r.doc_id: r for r in dedup_keep_best(pairs, quality).collect()}
+    assert set(out) == {1, 2, 3, 10, 11}  # 99 absent = kept by definition
+    # cluster {1,2,3}: best quality 0.9 tie between 2 and 3 -> min doc_id 2
+    assert out[1].keep_doc_id == 2 and not out[1].is_kept
+    assert out[2].is_kept and out[3].keep_doc_id == 2
+    # cluster {10,11}: tie at 0.1 -> keep 10
+    assert out[10].is_kept and out[11].keep_doc_id == 10
+    # cluster id = min member
+    assert out[3].cluster == 1 and out[11].cluster == 10
