@@ -37,6 +37,41 @@ def test_materialize_graph(spark, vocab, tmp_path):
     assert total == stats["edges"]
 
 
+def test_materialize_executes_extraction_exactly_once(spark, vocab, tmp_path):
+    """VERDICT r01 item 3: materialize_graph writes nodes+edges and derives
+    metrics/counts WITHOUT re-running the upstream pipeline — and the new
+    episode_triples spans re-join must not re-trigger the UDF either."""
+
+    # defined in-function so cloudpickle ships it by value (tests/ is not
+    # importable on executors); the accumulator observes executor-side work
+    class _CountingScorer:
+        def __init__(self, acc):
+            self.acc = acc
+
+        def score_batch(self, texts):
+            self.acc.add(len([t for t in texts if t]))
+            return [["fever"] for _ in texts]
+
+    # calibrate: how many scoring calls does ONE full execution make?
+    cal = spark.sparkContext.accumulator(0)
+    run_pipeline(
+        reference_documents(spark), reference_doc_meta(spark), vocab,
+        scorer=_CountingScorer(cal),
+    ).count()
+    expected_single = cal.value
+    assert expected_single > 0
+
+    acc = spark.sparkContext.accumulator(0)
+    triples = run_pipeline(
+        reference_documents(spark), reference_doc_meta(spark), vocab,
+        scorer=_CountingScorer(acc),
+    )
+    materialize_graph(triples, str(tmp_path / "g"), n_buckets=4)
+    assert acc.value == expected_single, (
+        f"extraction ran {acc.value / expected_single:.1f}x during materialize"
+    )
+
+
 def test_edges_lineage_carried(spark, vocab):
     triples = run_pipeline(reference_documents(spark), reference_doc_meta(spark), vocab)
     edges = build_edges(triples, n_buckets=4)
