@@ -101,6 +101,34 @@ def measure(spark, queries, corpus, dim, regime):
     return out
 
 
+IVF_SETTINGS = [(32, 2), (32, 4), (32, 8), (32, 16)]
+
+
+def measure_ivf(spark, queries, corpus, dim, regime):
+    from llacie_spark.operators.similarity import brute_force_topk, ivf_topk, train_centroids
+
+    corpus = corpus.cache()
+    truth = brute_force_topk(queries, corpus, k=K).select("query_id", "neighbor_id")
+    truth_set = {(r.query_id, r.neighbor_id) for r in truth.collect()}
+    out = []
+    for n_centroids, n_probe in IVF_SETTINGS:
+        cents = train_centroids(corpus, n_centroids=n_centroids, dim=dim)
+        got = ivf_topk(
+            queries, corpus, k=K, centroids=cents, n_probe=n_probe, dim=dim
+        ).select("query_id", "neighbor_id")
+        got_set = {(r.query_id, r.neighbor_id) for r in got.collect()}
+        recall = len(got_set & truth_set) / len(truth_set)
+        frac = n_probe / n_centroids  # cell sizes ~balanced after k-means
+        out.append((n_centroids, n_probe, recall, frac))
+        print(
+            f"[ivf/{regime}] centroids={n_centroids} probe={n_probe} "
+            f"recall@{K}={recall:.3f} scanned~{frac:.1%}",
+            flush=True,
+        )
+    corpus.unpersist()
+    return out
+
+
 def main():
     from llacie_spark.session import get_spark
 
@@ -114,12 +142,17 @@ def main():
     dim = len(emb.select("embedding").first()[0])
     queries = emb.orderBy("vec_id").limit(N_QUERIES)
     mid = measure(spark, queries, emb, dim=dim, regime="mid-cos")
+    mid_ivf = measure_ivf(spark, queries, emb, dim=dim, regime="mid-cos")
 
     print("\n| regime | n_planes | n_tables | recall@10 | corpus scanned/query |")
     print("|---|---|---|---|---|")
     for regime, rows in (("near-dup (planted, cos>=0.95)", near), ("mid-cosine (sf0.01)", mid)):
         for p, t, r, f in rows:
             print(f"| {regime} | {p} | {t} | {r:.3f} | {f:.2%} |")
+    print("\n| regime | n_centroids | n_probe | recall@10 | corpus scanned/query |")
+    print("|---|---|---|---|---|")
+    for c, p, r, f in mid_ivf:
+        print(f"| mid-cosine IVF (sf0.01) | {c} | {p} | {r:.3f} | ~{f:.1%} |")
     spark.stop()
 
 
