@@ -42,6 +42,8 @@ HEADLINE = [
     "simhash_pairs",
     "knn_bruteforce",
     "doc_enrich",
+    "dedup_keep_best",
+    "stratified_sample",
 ]
 
 KG_DOCS_PER_SF = 400_000  # synthetic corpus rows = sf * this (min 1000)
