@@ -27,6 +27,15 @@ def main(argv: list[str]) -> None:
     p.add_argument("--out", required=True, help="output dir for nodes/edges/metrics")
     p.add_argument("--stage-root", default=None, help="snapshot checkpoint root (enables resume)")
     p.add_argument("--buckets", type=int, default=64)
+    p.add_argument(
+        "--scorer", default="feature.presenting_sx.gazetteer",
+        help="registered scorer strategy name (scorer.find_scorers('*'))",
+    )
+    p.add_argument(
+        "--redo-older-than", default=None,
+        help="ISO timestamp: re-extract committed rows older than this "
+        "(staleness redo after a strategy upgrade; needs --stage-root)",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -43,8 +52,11 @@ def main(argv: list[str]) -> None:
     from llacie_spark.pipeline import episode_triples, fused_extract, run_pipeline
     from llacie_spark.vocab import Vocab
 
+    from llacie_spark.scorer import get_scorer
+
     spark = SparkSession.builder.appName("llacie-kg").getOrCreate()
     vocab = Vocab.from_csv(args.vocab)
+    scorer = get_scorer(args.scorer, vocab=vocab)
 
     if args.corpus:
         docs = reference_documents(spark, args.corpus)
@@ -56,14 +68,21 @@ def main(argv: list[str]) -> None:
     t0 = time.time()
     if args.stage_root:
         cat = SnapshotCatalog(args.stage_root)
-        todo = cat.unfinished(spark, docs, "extracted", "doc_id")
+        todo = cat.unfinished(
+            spark, docs, "extracted", "doc_id", redo_older_than=args.redo_older_than
+        )
         n_todo = todo.count()
         if n_todo:
-            cat.upsert(spark, fused_extract(assemble_text(todo), vocab), "extracted", "doc_id")
+            cat.upsert(
+                spark,
+                fused_extract(assemble_text(todo), vocab, scorer=scorer),
+                "extracted",
+                "doc_id",
+            )
         triples = episode_triples(cat.read_stage(spark, "extracted"), meta)
     else:
         n_todo = None
-        triples = run_pipeline(docs, meta, vocab)
+        triples = run_pipeline(docs, meta, vocab, scorer=scorer)
 
     stats = materialize_graph(triples, args.out, n_buckets=args.buckets)
     stats["wall_s"] = round(time.time() - t0, 2)

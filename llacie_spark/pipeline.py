@@ -313,6 +313,26 @@ def fused_extract(documents_with_text: DataFrame, vocab: Vocab, scorer=None) -> 
     return with_lineage(out, "extract", "fused.gazetteer", "2.0.0")
 
 
+def filter_terms(
+    df: DataFrame,
+    whitelist,
+    col: str = "label_name",
+    keep: bool = True,
+) -> DataFrame:
+    """F6: restrict rows to an allowed term set (or exclude it, keep=False).
+
+    The reference applies term whitelists when scoring subsets of the label
+    space (evaluator ``--terms`` narrowing). Spark-side this is a broadcast
+    ``isin`` for literal lists, or a broadcast semi/anti join when the
+    whitelist is a DataFrame (vocab-derived, too big for a literal)."""
+    if isinstance(whitelist, DataFrame):
+        how = "left_semi" if keep else "left_anti"
+        other = whitelist.select(F.col(whitelist.columns[0]).alias(col)).distinct()
+        return df.join(F.broadcast(other), col, how)
+    cond = F.col(col).isin(list(whitelist))
+    return df.where(cond if keep else ~cond)
+
+
 def repartition_by_cost(
     df: DataFrame,
     text_col: str = "note_text",

@@ -592,3 +592,55 @@ def iter_score(scorer, text_iter: Iterable[str | None], batch_size: int = 256):
             batch = []
     if batch:
         yield from scorer.score_batch(batch)
+
+
+# ------------------------------------------------------------------ registry
+#
+# D1: the reference discovers strategies by importing modules and indexing
+# AbstractStrategy subclasses, then resolves them by name glob
+# (``/root/reference/llacie/strategies/__init__.py:15-80``,
+# ``find_strategies``). Here strategies are scorer factories registered by
+# dotted name; ``find_scorers`` keeps the glob-match ergonomics and
+# ``get_scorer`` is the CLI/pipeline entry (jobs/run_kg.py --scorer).
+
+SCORER_REGISTRY: dict[str, Callable[..., object]] = {}
+
+
+def register_scorer(name: str):
+    """Register a scorer factory under a dotted strategy name. Factories
+    take keyword config and return an object with ``score_batch``."""
+
+    def deco(factory):
+        SCORER_REGISTRY[name] = factory
+        return factory
+
+    return deco
+
+
+def find_scorers(name_glob: str = "*") -> list[str]:
+    """Registered names matching a glob (reference find_strategies shape)."""
+    from fnmatch import fnmatch
+
+    return sorted(n for n in SCORER_REGISTRY if fnmatch(n, name_glob))
+
+
+def get_scorer(name: str, **config):
+    try:
+        factory = SCORER_REGISTRY[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown scorer {name!r}; registered: {sorted(SCORER_REGISTRY)}"
+        ) from None
+    return factory(**config)
+
+
+@register_scorer("feature.presenting_sx.gazetteer")
+def _gazetteer_factory(vocab=None, **_):
+    if vocab is None:
+        raise ValueError("gazetteer scorer needs vocab=Vocab(...)")
+    return GazetteerScorer(canonicalize=vocab.find_terms)
+
+
+@register_scorer("feature.presenting_sx.llm")
+def _llm_factory(scorer_fn=None, raw_output: bool = False, **_):
+    return LLMScorer(scorer_fn=scorer_fn, raw_output=raw_output)
