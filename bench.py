@@ -53,6 +53,22 @@ KG_DOCS_PER_SF = 400_000  # synthetic corpus rows = sf * this (min 1000)
 HOST_CEILING_8V32 = 0.751
 
 
+def _cpu_stat():
+    with open("/proc/stat") as f:
+        p = f.readline().split()
+    # user nice system idle iowait irq softirq steal
+    vals = [int(x) for x in p[1:9]]
+    return sum(vals), vals[7], vals[3] + vals[4]
+
+
+def _steal_pct(before, after) -> float:
+    """Hypervisor steal share during the measured window. This VM shares a
+    host: neighbors intermittently steal 10%+ of CPU (measured), which is
+    the first thing to check when a bench number regresses."""
+    total = after[0] - before[0]
+    return round(100 * (after[1] - before[1]) / max(total, 1), 1)
+
+
 def _sf_of(sf_dir: str) -> float:
     name = Path(sf_dir).name
     try:
@@ -80,6 +96,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     spark = _make_spark(cpus, "bench")
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    cpu0 = _cpu_stat()
     t_total0 = time.time()
     for name in HEADLINE:
         t0 = time.time()
@@ -108,6 +125,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "kg_triples": kg_rows,
         "kg_docs_per_sec": round(n_docs / kg_secs, 1),
         "cpus": cpus,
+        "host_steal_pct": _steal_pct(cpu0, _cpu_stat()),
     }
 
 
@@ -141,15 +159,19 @@ def run_scaling(n_docs: int = 480_000) -> dict:
         for _ in range(warmups):
             _run_kg(spark, n_docs)
         timed = []
+        steals = []
         rows = 0
         for _ in range(3):  # best-of-3: this host shows ~10% neighbor noise
+            c0 = _cpu_stat()
             t0 = time.time()
             rows = _run_kg(spark, n_docs)
             timed.append(round(time.time() - t0, 2))
+            steals.append(_steal_pct(c0, _cpu_stat()))
         spark.stop()
         results[cpus] = {
             "secs": min(timed),
             "all_timed": timed,
+            "steal_pct": steals,
             "docs_per_sec": round(n_docs / min(timed), 1),
             "triples": rows,
         }
@@ -177,7 +199,8 @@ def _write_baseline_md(r: dict) -> None:
     out.mkdir(exist_ok=True)
     d = r["detail"]
     rows = "\n".join(
-        f"| local[{c}] | {d[c]['secs']} s | {d[c]['docs_per_sec']} docs/sec | {d[c]['all_timed']} |"
+        f"| local[{c}] | {d[c]['secs']} s | {d[c]['docs_per_sec']} docs/sec "
+        f"| {d[c]['all_timed']} | {d[c].get('steal_pct', '—')} |"
         for c in sorted(d)
     )
     (out / "BASELINE.md").write_text(
@@ -191,9 +214,13 @@ identical input every run) runs at two parallelism-level pairs after
 warm-up passes (excluding JVM/JIT/Python-worker startup); best of three
 timed runs per level (this host shows ~10% hypervisor-neighbor noise).
 
-| cores | wall | throughput | timed runs |
-|---|---|---|---|
+| cores | wall | throughput | timed runs | hypervisor steal % per run |
+|---|---|---|---|---|
 {rows}
+
+(best-of-N + per-run steal: this VM shares a host and neighbors
+intermittently take 10-25% of full-width CPU; a timed run with elevated
+steal is reported but never selected.)
 
 | pair | scaling efficiency (T_N / T_4N) / 4 |
 |---|---|
