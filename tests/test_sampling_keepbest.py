@@ -62,3 +62,64 @@ def test_dedup_keep_best_clusters_and_policy(spark):
     assert out[10].is_kept and out[11].keep_doc_id == 10
     # cluster id = min member
     assert out[3].cluster == 1 and out[11].cluster == 10
+
+
+# ---------------------------------------------------------------- property
+
+
+def _keep_best_reference(edges, quality):
+    """Driver-side union-find twin of dedup_keep_best."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters = {}
+    for node in parent:
+        clusters.setdefault(find(node), []).append(node)
+    out = {}
+    for comp, members in clusters.items():
+        keeper = max(members, key=lambda n: (quality[n], -n))
+        for n in members:
+            out[n] = (min(members), keeper, n == keeper)
+    return out
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(edges=_edges, qseed=st.integers(0, 2**31))
+@settings(max_examples=25, deadline=None)
+def test_keep_best_equals_union_find(spark, edges, qseed):
+    import random
+
+    rng = random.Random(qseed)
+    nodes = sorted({n for e in edges for n in e})
+    quality = {n: rng.choice([0.0, 0.3, 0.7, 1.0]) for n in nodes}
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    qdf = spark.createDataFrame(
+        [(int(n), float(q)) for n, q in quality.items()], "doc_id long, quality double"
+    )
+    got = {
+        r.doc_id: (r.cluster, r.keep_doc_id, r.is_kept)
+        for r in dedup_keep_best(pairs, qdf).collect()
+    }
+    assert got == _keep_best_reference(edges, quality)
