@@ -146,3 +146,34 @@ def run_stream_once(stream_df: DataFrame, out_path: str, checkpoint: str) -> Non
         .start()
     )
     q.awaitTermination()
+
+
+def stream_upsert(
+    stream_df: DataFrame,
+    catalog,
+    name: str,
+    key: str | list[str],
+    checkpoint: str,
+) -> None:
+    """Drain the stream into the snapshot catalog via per-batch keyed upsert
+    — the streaming form of the S6 keyed sink.
+
+    ``foreachBatch`` + delete-then-insert by key gives effective
+    exactly-once: a batch replayed after a crash (same epoch id, same keys)
+    replaces its own rows instead of duplicating them — the same
+    idempotency contract the reference's ON CONFLICT DO UPDATE sink
+    provides per polling sweep (``llacie/db.py:650-665``). With an Iceberg
+    catalog this becomes MERGE INTO per epoch (docs/ICEBERG.md)."""
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        catalog.upsert(batch_df.sparkSession, batch_df, name, key)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

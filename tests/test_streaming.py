@@ -110,3 +110,35 @@ def test_stateful_first_seen_dedup(spark, vocab, tmp_path):
     assert final.count() == n1  # every re-seen (doc,label) suppressed by state
     dups = final.groupBy("doc_id", "label_name").count().where("count > 1")
     assert dups.count() == 0
+
+
+def test_stream_upsert_idempotent_sink(spark, vocab, tmp_path):
+    """S6 as a stream: two incremental drains land in the snapshot catalog
+    without duplicates; re-draining the same input is a no-op (keyed
+    replace, not append)."""
+    from llacie_spark.corpus import reference_documents
+    from llacie_spark.io import SnapshotCatalog
+    from llacie_spark.streaming import stream_documents, stream_extracted, stream_upsert
+
+    src = tmp_path / "in"
+    chk = str(tmp_path / "chk")
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    docs = reference_documents(spark).cache()
+
+    docs.where("doc_id <= 'doc-000050'").write.mode("append").parquet(str(src))
+    extracted = stream_extracted(stream_documents(spark, str(src)), vocab)
+    stream_upsert(extracted, cat, "extracted", "doc_id", chk)
+    n1 = cat.read_stage(spark, "extracted").count()
+    assert n1 == 50
+
+    docs.where("doc_id > 'doc-000050'").write.mode("append").parquet(str(src))
+    stream_upsert(extracted, cat, "extracted", "doc_id", chk)
+    out = cat.read_stage(spark, "extracted")
+    assert out.count() == docs.count()
+    assert out.groupBy("doc_id").count().where("count > 1").count() == 0
+
+    # same checkpoint, no new input: nothing re-lands, snapshot unchanged
+    snap_before = cat.current_snapshot("extracted")["snapshot"]
+    stream_upsert(extracted, cat, "extracted", "doc_id", chk)
+    assert cat.read_stage(spark, "extracted").count() == docs.count()
+    assert cat.current_snapshot("extracted")["snapshot"] == snap_before
