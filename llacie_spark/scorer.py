@@ -644,3 +644,105 @@ def _gazetteer_factory(vocab=None, **_):
 @register_scorer("feature.presenting_sx.llm")
 def _llm_factory(scorer_fn=None, raw_output: bool = False, **_):
     return LLMScorer(scorer_fn=scorer_fn, raw_output=raw_output)
+
+
+class SubprocessScorer:
+    """U2/U3: batched scoring through a local inference subprocess — the
+    llama.cpp execution path (reference ``llacie/strategies/
+    abstract_llama_cpp.py:86-131``: prompt template -> autotrim -> subprocess
+    -> strip EOT token -> parse a JSON array of strings; unparseable output
+    logs a warning and yields no mentions).
+
+    Spark-shape difference: the reference loops notes one subprocess call at
+    a time on a GPU worker; here one subprocess handles a whole Arrow batch
+    over a line protocol (one JSON-encoded prompt string per stdin line, one
+    JSON-encoded response string per stdout line — JSON strings so multi-line
+    model output stays one line on the wire), so per-call process/model
+    startup amortizes across the batch. Executors each run their own subprocess — the
+    one-engine-per-worker design. For persistent-server backends (vLLM)
+    inject ``LLMScorer`` instead.
+
+    ``raw_output=True`` routes non-JSON responses through the X3 list
+    cleanup (``operators/listclean.py``) instead of dropping them — the
+    legacy llama-1 behavior."""
+
+    name = "feature.presenting_sx.subprocess"
+    version = "0.1.0"
+
+    def __init__(
+        self,
+        argv: Sequence[str],
+        prompt_template: str = "{input}",
+        max_tokens: int | None = None,
+        trim_eot_regex: str | None = None,
+        raw_output: bool = False,
+        timeout_s: float = 600.0,
+    ):
+        self.argv = list(argv)
+        self.prompt_template = prompt_template
+        self.max_tokens = max_tokens
+        self.trim_eot_regex = re.compile(trim_eot_regex) if trim_eot_regex else None
+        self.raw_output = raw_output
+        self.timeout_s = timeout_s
+
+    def _prompt(self, text: str) -> str:
+        if self.max_tokens is not None:
+            trimmed = trim_to_token_budget(text, self.max_tokens)
+            # autotrim failure -> fall back to the full text (reference
+            # abstract_llama_cpp.py:106-110)
+            text = trimmed if trimmed else text
+        return self.prompt_template.format(input=text)
+
+    def _parse(self, raw: str) -> list[str]:
+        import json
+
+        if self.trim_eot_regex is not None:
+            raw = self.trim_eot_regex.sub("", raw)
+        try:
+            parsed = json.loads(raw)
+            if isinstance(parsed, list):
+                return [str(v) for v in parsed]
+        except (ValueError, TypeError):
+            pass
+        if self.raw_output:
+            from .operators.listclean import cleanup_mention_list
+
+            return cleanup_mention_list(raw) or []
+        return []  # reference: warn + skip unparseable output
+
+    def score_batch(self, texts: Sequence[str | None]) -> list[list[str]]:
+        import json
+        import subprocess
+
+        prompts = [self._prompt(t or "") for t in texts]
+        payload = "\n".join(json.dumps(p) for p in prompts) + "\n"
+        proc = subprocess.run(
+            self.argv,
+            input=payload,
+            capture_output=True,
+            text=True,
+            timeout=self.timeout_s,
+            check=True,
+        )
+        lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+        if len(lines) != len(prompts):
+            raise RuntimeError(
+                f"subprocess returned {len(lines)} responses for {len(prompts)} prompts"
+            )
+        responses = []
+        for line in lines:
+            try:
+                decoded = json.loads(line)
+            except ValueError as e:
+                raise RuntimeError(f"response line is not a JSON string: {line!r}") from e
+            if not isinstance(decoded, str):
+                raise RuntimeError(f"response line must decode to a string: {line!r}")
+            responses.append(decoded)
+        return [self._parse(r) for r in responses]
+
+
+@register_scorer("feature.presenting_sx.subprocess")
+def _subprocess_factory(argv=None, **config):
+    if not argv:
+        raise ValueError("subprocess scorer needs argv=[...] for the inference binary")
+    return SubprocessScorer(argv=argv, **config)
