@@ -21,6 +21,7 @@ def test_registry_resolves_and_globs(vocab):
     assert find_scorers("feature.presenting_sx.*") == [
         "feature.presenting_sx.gazetteer",
         "feature.presenting_sx.llm",
+        "feature.presenting_sx.subprocess",
     ]
     with pytest.raises(ValueError, match="unknown scorer"):
         get_scorer("nope")
