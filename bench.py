@@ -49,8 +49,19 @@ HEADLINE = [
 KG_DOCS_PER_SF = 400_000  # synthetic corpus rows = sf * this (min 1000)
 
 # scripts/host_ceiling.py, 2026-08-16: 8->32-process efficiency of the
-# pipeline's own per-doc work under plain multiprocessing — no Spark
+# pipeline's own per-doc work under plain multiprocessing — no Spark.
+# Stamped with the host it was measured on; --scaling re-probes the cheap
+# register-only twin at bench time and warns if the host has drifted.
 HOST_CEILING_8V32 = 0.751
+HOST_CEILING_STAMP = {
+    "measured": "2026-08-16",
+    "cpus": 32,
+    "register_probe_8v32": 0.757,  # corroborating register-only number
+}
+
+# a timed run with hypervisor steal above this is recorded but never selected
+STEAL_OK_PCT = 2.0
+N_TIMED_RUNS = 3
 
 
 def _cpu_stat():
@@ -90,42 +101,73 @@ def _make_spark(cpus: int, app: str, prewarm: bool = True):
     return spark
 
 
+def _timed_best(fn, n_runs: int = N_TIMED_RUNS) -> dict:
+    """Run ``fn`` ``n_runs`` times; report every wall time + per-run steal%,
+    and select the best among runs whose steal is below ``STEAL_OK_PCT``
+    (falling back to the overall best, flagged, when no run is clean).
+    This host has noisy-neighbor epochs (10-25% CPU loss); a single timed
+    pass is uninterpretable round-over-round — see VERDICT r2 §What's wrong."""
+    runs, steals = [], []
+    for _ in range(n_runs):
+        c0 = _cpu_stat()
+        t0 = time.time()
+        fn()
+        runs.append(round(time.time() - t0, 3))
+        steals.append(_steal_pct(c0, _cpu_stat()))
+    clean = [t for t, s in zip(runs, steals) if s < STEAL_OK_PCT]
+    return {
+        "best": min(clean) if clean else min(runs),
+        "runs": runs,
+        "steal_pct": steals,
+        "steal_gated": bool(clean),
+    }
+
+
 def run_headline(sf_dir: str, cpus: int) -> dict:
     import __spark_entry__ as entrymod
 
     spark = _make_spark(cpus, "bench")
     qs = entrymod.queries()
     timings: dict[str, float] = {}
-    cpu0 = _cpu_stat()
+    detail: dict[str, dict] = {}
     t_total0 = time.time()
     for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # full materialization
-        timings[name] = round(time.time() - t0, 3)
+        def _one(q=qs[name]):
+            # full materialization without driver transfer or column pruning
+            q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+        _one()  # warm-up: Python-worker creation + shuffle-file page cache
+        r = _timed_best(_one)
+        timings[name] = r["best"]
+        detail[name] = r
 
     # KG pipeline throughput at this sf (steady-state: one warm pass first
     # so local-mode Python-worker convergence doesn't pollute the number)
     sf = _sf_of(sf_dir)
     n_docs = max(1000, int(sf * KG_DOCS_PER_SF))
     _run_kg(spark, n_docs)
-    t0 = time.time()
-    kg_rows = _run_kg(spark, n_docs)
-    kg_secs = time.time() - t0
-    timings["kg_pipeline"] = round(kg_secs, 3)
+    kg_rows = _run_kg(spark, n_docs)  # second warm pass; also pins row count
+    r = _timed_best(lambda: _run_kg(spark, n_docs))
+    timings["kg_pipeline"] = r["best"]
+    detail["kg_pipeline"] = r
     total = round(time.time() - t_total0, 3)
     spark.stop()
     return {
-        "metric": "headline_total_wall",
-        "value": total,
+        "metric": "headline_best_of_3_sum",
+        # sum of steal-gated best-of-3 per query: the comparable-across-rounds
+        # number. Raw wall (warm-ups + all runs) is in total_wall.
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_detail": detail,
+        "total_wall": total,
         "sf": sf,
         "kg_docs": n_docs,
         "kg_triples": kg_rows,
-        "kg_docs_per_sec": round(n_docs / kg_secs, 1),
+        "kg_docs_per_sec": round(n_docs / timings["kg_pipeline"], 1),
+        "kg_steal_pct": detail["kg_pipeline"]["steal_pct"],
         "cpus": cpus,
-        "host_steal_pct": _steal_pct(cpu0, _cpu_stat()),
+        "steal_gate_pct": STEAL_OK_PCT,
     }
 
 
@@ -141,6 +183,34 @@ def _run_kg(spark, n_docs: int) -> int:
     meta = synthetic_doc_meta(spark, n_docs)
     triples = run_pipeline(docs, meta, vocab)
     return triples.count()
+
+
+def _register_ceiling_probe() -> float:
+    """Cheap at-bench-time twin of scripts/host_ceiling.py's register-only
+    probe: 8 vs 32 plain processes running a pure-arithmetic loop. Used to
+    detect host drift before trusting the stamped HOST_CEILING_8V32 (the
+    full actual-work probe lives in scripts/host_ceiling.py)."""
+    import multiprocessing as mp
+
+    def _rate(procs: int) -> float:
+        jobs = [1_500_000] * 128
+        with mp.Pool(procs) as p:
+            p.map(_register_burn, jobs[:procs])  # warm forks
+            timed = []
+            for _ in range(2):
+                t0 = time.time()
+                p.map(_register_burn, jobs)
+                timed.append(time.time() - t0)
+        return min(timed)
+
+    return round((_rate(8) / _rate(32)) / 4, 3)
+
+
+def _register_burn(iters: int) -> int:
+    x = 12345
+    for _ in range(iters):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+    return x
 
 
 def run_scaling(n_docs: int = 480_000) -> dict:
@@ -175,6 +245,21 @@ def run_scaling(n_docs: int = 480_000) -> dict:
             "docs_per_sec": round(n_docs / min(timed), 1),
             "triples": rows,
         }
+    # guard against a stale stamped ceiling: re-probe the cheap register-only
+    # twin now and compare against the value recorded when the full
+    # actual-work ceiling was measured (ADVICE r2: the constant must not be
+    # silently reused on a changed host)
+    live_register = _register_ceiling_probe()
+    stamped_register = HOST_CEILING_STAMP["register_probe_8v32"]
+    ceiling_drift = round(live_register - stamped_register, 3)
+    ceiling_stale = abs(ceiling_drift) > 0.05 or os.cpu_count() != HOST_CEILING_STAMP["cpus"]
+    if ceiling_stale:
+        print(
+            f"WARNING: host drifted since ceiling stamp {HOST_CEILING_STAMP} "
+            f"(live register probe {live_register} vs stamped {stamped_register}); "
+            "re-run scripts/host_ceiling.py and update HOST_CEILING_8V32",
+            file=sys.stderr,
+        )
     report = {
         "n_docs": n_docs,
         "pairs": {
@@ -185,6 +270,9 @@ def run_scaling(n_docs: int = 480_000) -> dict:
         # Python work under plain multiprocessing (no Spark), best of 3 —
         # what this VM hands ANY engine going 8 -> 32 processes
         "host_ceiling_8v32": HOST_CEILING_8V32,
+        "host_ceiling_stamp": HOST_CEILING_STAMP,
+        "register_probe_live_8v32": live_register,
+        "ceiling_stale": ceiling_stale,
         "detail": results,
     }
     report["pairs"]["8v32_normalized"] = round(
@@ -234,7 +322,10 @@ scales 8 -> 32 processes at only **{r["host_ceiling_8v32"]}** efficiency (best o
 level; a register-only arithmetic loop measures ~0.76 too, with /proc/stat
 showing 0% steal and 100% user — the box does not hand a 4x-wider process
 pool 4x the CPU). {r["host_ceiling_8v32"]} is therefore the attainable ceiling for ANY
-engine executing this computation here. Decomposition (`scripts/
+engine executing this computation here. Stamp: {r["host_ceiling_stamp"]};
+live register-only re-probe at bench time: **{r["register_probe_live_8v32"]}**
+(stale={r["ceiling_stale"]} — the stamped ceiling is only trusted when the
+live probe agrees within 0.05 on the same core count). Decomposition (`scripts/
 profile_scaling.py`): the Spark fused-UDF stage alone scales at 0.73-0.77 ≈
 the ceiling, i.e. the Spark path adds no engine-side scaling loss; the
 normalized pair above reads the pipeline against what the hardware offers.

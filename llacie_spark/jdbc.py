@@ -34,6 +34,14 @@ def in_list_predicates(key_col: str, keys: Sequence, chunk: int = 1000) -> list[
         return []
 
     def lit(k):
+        # bool is an int subclass: check it FIRST or True/False render as the
+        # bare words 'True'/'False' (invalid SQL in Derby/Oracle/Teradata);
+        # None would render as the string 'None' — reject both (ADVICE r2).
+        if k is None or isinstance(k, bool):
+            raise ValueError(
+                f"unsupported IN-list key {k!r}: use int/float/str keys "
+                "(booleans and NULLs don't belong in an IN-list predicate)"
+            )
         return str(k) if isinstance(k, (int, float)) else "'" + str(k).replace("'", "''") + "'"
 
     ks = list(keys)

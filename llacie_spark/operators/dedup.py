@@ -29,19 +29,36 @@ from pyspark.sql import functions as F
 
 from .textstats import fingerprint, normalized_text
 
-# At most one live shingle cache per session: these operators return lazy
-# DataFrames (the caller runs the action), so they can't unpersist after the
-# action themselves — instead each new call releases the previous call's
-# cache, bounding cached memory across repeated calls in one session.
-_live_shingle_cache: list[DataFrame] = []
+# Shingle-cache registry. These operators return lazy DataFrames (the caller
+# runs the action), so they can't unpersist after the action themselves. The
+# registry is keyed by plan semantics: a second call over the SAME corpus
+# reuses the already-persisted explosion (jaccard_pairs + minhash_dedup_pairs
+# on one df share one cache, and building both lazily before acting on either
+# is safe — nothing is evicted out from under a live plan). Distinct corpora
+# get their own entries, bounded FIFO at _SHINGLE_CACHE_MAX; eviction only
+# happens when a NEW corpus enters a full registry, so the one hazard left is
+# holding >_SHINGLE_CACHE_MAX lazy results over distinct corpora at once.
+import threading
+
+_SHINGLE_CACHE_MAX = 4
+_shingle_cache: list[DataFrame] = []
+_shingle_cache_lock = threading.Lock()
 
 
 def _cache_shingles(sh: DataFrame) -> DataFrame:
-    while _live_shingle_cache:
-        _live_shingle_cache.pop().unpersist()
-    sh = sh.persist()
-    _live_shingle_cache.append(sh)
-    return sh
+    with _shingle_cache_lock:
+        for cached in _shingle_cache:
+            try:
+                same = cached.sameSemantics(sh)
+            except Exception:  # session of a cached entry was stopped
+                same = False
+            if same:
+                return cached
+        sh = sh.persist()
+        _shingle_cache.append(sh)
+        while len(_shingle_cache) > _SHINGLE_CACHE_MAX:
+            _shingle_cache.pop(0).unpersist()
+        return sh
 
 
 # --------------------------------------------------------------------- exact
@@ -342,8 +359,12 @@ def dedup_keep_best(
     comp = connected_components(pairs, src=pair_a, dst=pair_b)
     q = quality.select(F.col(id_col).alias("node"), F.col(quality_col).alias("_q"))
     clustered = comp.join(q, "node")
+    # keeper = max quality, min doc id among ties. min_by over (-quality,
+    # node) keeps the doc id un-negated, so ids may be strings (negating the
+    # id — round 2's form — failed analysis on non-numeric ids); quality is
+    # a numeric score by contract, so ITS negation is safe.
     keeper = clustered.groupBy("component").agg(
-        F.max_by("node", F.struct(F.col("_q"), (-F.col("node")).alias("_neg"))).alias(
+        F.min_by("node", F.struct((-F.col("_q")).alias("_negq"), F.col("node"))).alias(
             "keep_doc_id"
         )
     )

@@ -6,15 +6,25 @@ static ``synonym_of → canonical_name`` closure resolved at vocab-build time
 (``/root/reference/llacie/vocab.py:86-96``); here it generalizes to any edge
 set (synonym rows, normalized-string equality, embedding near-dups from
 ``operators/similarity.py``) and runs as the alternating large-star /
-small-star iteration — plain DataFrame self-joins in a driver loop, the
+small-star iteration (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14) — plain DataFrame self-joins in a driver loop, the
 standard GraphFrames-free CC at Spark scale:
 
-- state: (node, component) with component = min-id reachable so far;
-- each round: propagate the smaller component across every edge in both
-  directions, recompute per-node min, count changes;
+- state: the edge set itself, repeatedly rewritten toward a star forest
+  where every node points at its component's min id;
+- large-star: hang each node's strictly-larger neighbors off the minimum of
+  its neighborhood; small-star: hang its smaller-or-equal neighbors (and
+  itself) off that minimum;
 - ``localCheckpoint`` each round cuts the lineage (iterative joins otherwise
   stack exponentially deep plans);
-- converges in O(log(diameter)) rounds; each round is one shuffle on node.
+- proven O(log^2 n) rounds; in practice ~log2(n) — a 1000-node PATH (the
+  worst case for plain min-propagation, which needs ~1000 rounds) converges
+  in <= ceil(log2 n)+2 alternations (pinned by tests/test_operators.py).
+  Plain min-propagation is O(diameter): round-2's implementation, replaced
+  here per VERDICT r2 #5.
+
+Node ids may be any orderable type (long, string, ...) — comparisons are
+Spark-native, nothing is negated.
 
 Determinism: component id = min node id of the component.
 """
@@ -25,48 +35,94 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _edge_signature(e: DataFrame) -> tuple[int, int]:
+    """Cheap change detector for the iteration: (row count, order-free
+    hash-sum). One aggregation, no sort, no driver-side edge transfer.
+    The sum runs in decimal(38,0): summing raw 64-bit hashes overflows
+    long under ANSI mode (Spark 4 default) after a handful of rows."""
+    r = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).first()
+    return int(r["n"]), int(r["h"])
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        nbrs.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("mv", F.col("u")).alias("m"))
+    )
+    return (
+        nbrs.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges big->small, then connect each of u's smaller-or-equal
+    neighbors — and u itself — to min(N(u) ∪ {u})."""
+    oriented = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    hang_nbrs = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    hang_self = mins.select("u", F.col("m").alias("v"))
+    return hang_nbrs.union(hang_self).where(F.col("u") != F.col("v")).distinct()
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(src, dst) undirected edges -> (node, component).
 
-    Isolated nodes don't appear (no edges, no rows) — union your node set
-    with component = node afterwards if needed."""
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    Every node appearing in the edge list gets a row (self-loop-only nodes
+    map to themselves); nodes with no edges at all don't appear — union your
+    node set with component = node afterwards if needed. Pass ``stats={}`` to
+    receive {"rounds": k}, the number of large-star/small-star alternations
+    the input needed (tests pin the logarithmic bound with it)."""
+    raw = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
+        .localCheckpoint()
     )
-    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.localCheckpoint()
-
-    comp = sym.groupBy("a").agg(F.min("b").alias("c")).select(
-        F.col("a").alias("node"), F.least("a", "c").alias("component")
-    )
-    comp = comp.localCheckpoint()
-
-    for _ in range(max_iterations):
-        # propagate: every node's candidate component via each neighbor
-        prop = (
-            sym.join(comp.withColumnRenamed("node", "b"), "b")
-            .select(F.col("a").alias("node"), F.col("component"))
-            .union(comp)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-        )
-        prop = prop.localCheckpoint()
-        changed = (
-            prop.join(comp.withColumnRenamed("component", "old"), "node")
-            .where(F.col("component") != F.col("old"))
-            .count()
-        )
-        comp = prop
-        if changed == 0:
-            break
-    return comp
+    e = raw.where(F.col("u") != F.col("v"))
+    rounds = 0
+    if not e.isEmpty():
+        sig = _edge_signature(e)
+        for _ in range(max_iterations):
+            e = _small_star(_large_star(e)).localCheckpoint()
+            rounds += 1
+            new_sig = _edge_signature(e)
+            if new_sig == sig:  # star forest: fixed point of both steps
+                break
+            sig = new_sig
+    if stats is not None:
+        stats["rounds"] = rounds
+    # converged edge set is a star forest: every non-root points at its
+    # component min; roots (and self-loop-only nodes) map to themselves
+    pointed = e.select(
+        F.greatest("u", "v").alias("node"), F.least("u", "v").alias("component")
+    ).distinct()
+    all_nodes = raw.select(F.col("u").alias("node")).union(
+        raw.select(F.col("v").alias("node"))
+    ).distinct()
+    selfmapped = all_nodes.join(pointed.select("node"), "node", "left_anti")
+    return pointed.union(selfmapped.select("node", F.col("node").alias("component")))
 
 
 def synonym_edges(concepts: DataFrame) -> DataFrame:

@@ -46,6 +46,10 @@ def stratified_sample(
     rate = F.lit(float(default_rate))
     for value, r in sorted(rates.items()):
         rate = F.when(stratum == value, F.lit(float(r))).otherwise(rate)
+    # round, don't truncate: 0.3 * 10000 is 2999.999... in binary floating
+    # point, and a cast-to-long threshold of 2999 would systematically
+    # under-sample every non-binary-exact rate (ADVICE r2). Any oracle SQL
+    # must mirror the same round() before casting.
     return df.withColumn("stratum", stratum).where(
-        keep_bucket(F.col(id_col), salt) < (rate * RESOLUTION).cast("long")
+        keep_bucket(F.col(id_col), salt) < F.round(rate * RESOLUTION).cast("long")
     )

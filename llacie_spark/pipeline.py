@@ -170,6 +170,7 @@ def episode_triples(
     doc_meta: DataFrame,
     time_limit_s: int = SECS_IN_24H,
     broadcast_winners: bool = False,
+    argmin_strategy: str = "min_by",
 ) -> DataFrame:
     """Collapse per-note matches into per-episode (subj, pred, obj) triples.
 
@@ -201,10 +202,41 @@ def episode_triples(
       True`` forces the hint — measured SLOWER here (a forced broadcast
       whose build side contains the extraction UDF made AQE execute that
       subtree twice under count-only consumers), so prefer the default.
+
+    ``argmin_strategy``: ``"min_by"`` (the slim-agg + re-join plan above,
+    default) or ``"window_fat"`` (the round-1 rank-1 window carrying the
+    ``spans`` payload through the episode shuffle — no re-join, but the
+    exchange moves every qualifying note's payload). The two are result-
+    identical (tests pin it); ``scripts/argmin_ab.py`` measures the
+    crossover so the choice is data, not vibes: window_fat can win at small
+    scale where the extra join's fixed cost dominates, min_by wins when
+    payload × qualifying-notes is the bottleneck.
     """
+    if argmin_strategy not in ("min_by", "window_fat"):
+        raise ValueError(f"unknown argmin_strategy: {argmin_strategy!r}")
     delta = (
         F.unix_timestamp("date_of_service_ts") - F.unix_timestamp("episode_start_ts")
     ).alias("delta")
+    if argmin_strategy == "window_fat":
+        from pyspark.sql.window import Window
+
+        qualifying = (
+            linked.join(doc_meta, "doc_id")
+            .where(F.col("infection_criteria") & ~F.col("excl_st0_combined"))
+            .where(F.col("note_type") == "H&P")
+            .withColumn("delta", delta)
+            .where(F.col("delta") < F.lit(time_limit_s))
+            .where(F.col("section_text").isNotNull() & F.col("matches").isNotNull())
+        )
+        w = Window.partitionBy("episode_id").orderBy(
+            F.col("delta").asc(), F.col("doc_id").asc()
+        )
+        earliest = (
+            qualifying.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select("episode_id", "doc_id", "matches", "spans")
+        )
+        return _emit_triples(earliest)
     qualifying = (
         linked.select("doc_id", "section_text", "matches")  # slim: no payloads
         .join(doc_meta, "doc_id")
@@ -231,8 +263,12 @@ def episode_triples(
     if broadcast_winners:
         earliest = F.broadcast(earliest)
     spans_side = linked.select("doc_id", "spans")  # UDF pruned out of this branch
+    return _emit_triples(earliest.join(spans_side, "doc_id"))
 
-    triples = earliest.join(spans_side, "doc_id").select(
+
+def _emit_triples(winners: DataFrame) -> DataFrame:
+    """(episode_id, doc_id, matches, spans) winners -> exploded triples."""
+    triples = winners.select(
         "episode_id",
         "doc_id",
         F.lit(PRED_HAS_SYMPTOM).alias("pred"),
@@ -375,6 +411,7 @@ def run_pipeline(
     doc_meta: DataFrame,
     vocab: Vocab,
     scorer=None,
+    argmin_strategy: str = "min_by",
 ) -> DataFrame:
     """documents + doc_meta -> triples, all four stages in one plan (the
     Python portion fused into a single UDF node).
@@ -386,4 +423,4 @@ def run_pipeline(
 
     with_text = assemble_text(documents)
     linked = fused_extract(with_text, vocab, scorer=scorer)
-    return episode_triples(linked, doc_meta)
+    return episode_triples(linked, doc_meta, argmin_strategy=argmin_strategy)

@@ -1,0 +1,125 @@
+"""A/B the two episode-argmin physical forms under the steal-gated protocol.
+
+VERDICT r2 #2: the min_by rewrite (slim hash-agg + payload re-join after
+winner selection) must be shown >= the round-1 rank-1 window form at the
+40k-doc headline scale, or the crossover measured and documented so the
+strategy choice is data. This script runs BOTH forms, INTERLEAVED (so a
+host-noise epoch hits both, not one), best-of-N with per-run hypervisor
+steal%, at two corpus scales, checks the two forms produce identical
+triples, and prints a markdown crossover table for BENCH/BASELINE.md.
+
+This host has hours-long noisy-neighbor epochs that swing this exact
+workload up to 3x while window-averaged steal reads only a few percent
+(VERDICT r2 confirmed the same on its independent rerun), so the script
+WAITS for a quiet window before measuring: it probes /proc/stat steal in
+short slices and starts only after a clean stretch, aborting the wait after
+``--max-wait`` minutes (results are then labeled noisy).
+
+Usage: python scripts/argmin_ab.py [rounds] [scales_csv] [max_wait_min]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from bench import _cpu_stat, _steal_pct, STEAL_OK_PCT  # noqa: E402
+from llacie_spark.corpus import synthetic_doc_meta, synthetic_documents  # noqa: E402
+from llacie_spark.pipeline import run_pipeline  # noqa: E402
+from llacie_spark.session import get_spark, prewarm_python_workers  # noqa: E402
+from llacie_spark.vocab import Vocab  # noqa: E402
+
+ROUNDS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+SCALES = (
+    [int(x) for x in sys.argv[2].split(",")] if len(sys.argv) > 2 else [40_000, 240_000]
+)
+MAX_WAIT_MIN = float(sys.argv[3]) if len(sys.argv) > 3 else 90.0
+FORMS = ("min_by", "window_fat")
+
+
+def steal_slice(secs: float = 2.0) -> float:
+    c0 = _cpu_stat()
+    time.sleep(secs)
+    return _steal_pct(c0, _cpu_stat())
+
+
+def wait_for_quiet(max_wait_min: float) -> bool:
+    """Block until 3 consecutive 2s slices show steal < 1% (instantaneous
+    slices, not run-window averages — epochs hide in averages)."""
+    deadline = time.time() + max_wait_min * 60
+    clean = 0
+    while time.time() < deadline:
+        s = steal_slice()
+        clean = clean + 1 if s < 1.0 else 0
+        if clean >= 3:
+            print(f"host quiet (3x2s slices < 1% steal)", flush=True)
+            return True
+        if clean == 0:
+            print(f"waiting for quiet host: steal slice {s}%", flush=True)
+            time.sleep(30)
+    print("WARNING: quiet-wait timed out; measuring on a noisy host", flush=True)
+    return False
+
+
+def main() -> None:
+    quiet = wait_for_quiet(MAX_WAIT_MIN)
+    spark = get_spark(app_name="argmin-ab", master="local[32]", shuffle_partitions=32)
+    prewarm_python_workers(spark)
+    vocab = Vocab.from_csv(str(REPO / "fixtures/vocab_pres_sx_v2.csv"))
+    rows = [
+        f"quiet_start={quiet}",
+        "| docs | form | best (s) | docs/sec | runs (s) | steal % |",
+        "|---|---|---|---|---|---|",
+    ]
+    for n_docs in SCALES:
+        parts = 8 * spark.sparkContext.defaultParallelism
+        docs = synthetic_documents(spark, n_docs, partitions=parts)
+        meta = synthetic_doc_meta(spark, n_docs)
+
+        def run(form: str) -> int:
+            t = run_pipeline(docs, meta, vocab, argmin_strategy=form)
+            return t.count()
+
+        # the two forms must be result-identical before their times matter
+        # (semantic columns only: partition_id/updated_at lineage is
+        # plan-shape- and wall-clock-dependent by design)
+        semantic = [
+            "episode_id", "doc_id", "pred", "label_name", "label_value",
+            "line_number", "spans",
+        ]
+        a = run_pipeline(docs, meta, vocab, argmin_strategy="min_by").select(semantic)
+        b = run_pipeline(docs, meta, vocab, argmin_strategy="window_fat").select(semantic)
+        diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+        assert diff == 0, f"forms disagree at {n_docs} docs: {diff} rows"
+        print(f"[{n_docs}] forms identical; warm passes done", flush=True)
+
+        wait_for_quiet(10)  # an epoch can start mid-script; re-check per scale
+        timed = {f: [] for f in FORMS}
+        steals = {f: [] for f in FORMS}
+        for _ in range(ROUNDS):
+            for form in FORMS:  # interleaved: noise epochs hit both forms
+                c0 = _cpu_stat()
+                t0 = time.time()
+                run(form)
+                timed[form].append(round(time.time() - t0, 3))
+                steals[form].append(_steal_pct(c0, _cpu_stat()))
+        for form in FORMS:
+            clean = [
+                t for t, s in zip(timed[form], steals[form]) if s < STEAL_OK_PCT
+            ]
+            best = min(clean) if clean else min(timed[form])
+            rows.append(
+                f"| {n_docs} | {form} | {best} | {round(n_docs / best, 1)} "
+                f"| {timed[form]} | {steals[form]} |"
+            )
+            print(rows[-1], flush=True)
+    spark.stop()
+    print("\n".join(rows))
+
+
+if __name__ == "__main__":
+    main()

@@ -7,6 +7,10 @@
   (the extraction whose P/R vs the reference annotations is asserted by
   tests/test_gold_gate); the kg_* oracles hash against it, so any regression
   in sectioning/scoring/linking flips CORRECTNESS red.
+- ``mentions.parquet`` — (doc_id, mentions) after sectioning + scoring but
+  BEFORE linking: the input the kg_linking oracle re-derives labels from
+  independently (recursive-CTE greedy scan over the vocab CSV in DuckDB),
+  so only the Python regex sectioner + scorer stay golden-pinned.
 
 Also verifies, before writing, that the relational linker's output is
 row-identical to the pipeline projection (the kg_relational oracle depends
@@ -66,6 +70,17 @@ def main():
 
     write_single_parquet(triples, GOLDEN / "kg_triples.parquet")
     print(f"kg_triples.parquet: {len(t_rows)} triples")
+
+    from llacie_spark.corpus import assemble_text
+    from llacie_spark.pipeline import extract_mentions, extract_sections
+    from llacie_spark.vocab import Vocab
+
+    vocab = Vocab.from_csv(str(REPO / "fixtures/vocab_pres_sx_v2.csv"))
+    mentions = extract_mentions(
+        extract_sections(assemble_text(docs)), vocab
+    ).select("doc_id", "mentions").orderBy("doc_id")
+    write_single_parquet(mentions, GOLDEN / "mentions.parquet")
+    print(f"mentions.parquet: {mentions.count()} docs")
 
 
 if __name__ == "__main__":

@@ -66,6 +66,17 @@ def test_in_list_predicates_quote_strings(spark):
     assert preds == ["doc_id IN ('a', 'o''brien')"]
 
 
+def test_in_list_predicates_reject_bool_and_none():
+    """bool is an int subclass — without an explicit check True renders as
+    the bare word 'True' (invalid SQL in most warehouses); None as 'None'."""
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported IN-list key True"):
+        in_list_predicates("flag", [True, False])
+    with pytest.raises(ValueError, match="unsupported IN-list key None"):
+        in_list_predicates("doc_id", [1, None])
+
+
 def test_range_partitioned_read(spark, derby):
     df = read_table(
         spark, derby, "note_meta", driver=DRIVER,

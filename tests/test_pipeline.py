@@ -152,6 +152,21 @@ def test_argmin_join_picks_earliest_note(spark, vocab):
     assert {r.label_name for r in rows} == {"chills"}
 
 
+def test_argmin_strategies_identical(spark, docs, meta, vocab, triples):
+    """The min_by slim-agg form and the rank-1 window form are physical
+    alternatives for the same operator (scripts/argmin_ab.py measures the
+    crossover); their semantic output must be row-identical."""
+    semantic = [
+        "episode_id", "doc_id", "pred", "label_name",
+        "label_value", "line_number", "spans",
+    ]
+    a = triples.select(semantic)
+    b = run_pipeline(docs, meta, vocab, argmin_strategy="window_fat").select(semantic)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    with pytest.raises(ValueError, match="argmin_strategy"):
+        run_pipeline(docs, meta, vocab, argmin_strategy="nope")
+
+
 def test_repartition_by_cost(spark, docs, vocab):
     from llacie_spark.corpus import assemble_text
     from llacie_spark.pipeline import repartition_by_cost, run_pipeline

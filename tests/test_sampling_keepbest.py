@@ -36,6 +36,21 @@ def test_stratified_sample_is_monotone_in_rate(spark, docs):
     assert small.join(big, "doc_id", "left_anti").count() == 0
 
 
+def test_rate_threshold_rounds_not_truncates(spark):
+    """0.3 * 10000 = 2999.999... in doubles; a truncating cast keeps only
+    buckets < 2999 and systematically drops the 2999 bucket (ADVICE r2).
+    Find an id whose coin lands exactly on 2999 and pin that it is kept."""
+    import hashlib
+
+    def bucket(i):  # python twin of keep_bucket(salt="t")
+        return int(hashlib.md5(f"t{i}".encode()).hexdigest()[:15], 16) % RESOLUTION
+
+    edge = next(i for i in range(100_000) if bucket(i) == 2999)
+    df = spark.createDataFrame([(edge, "en")], "doc_id long, lang string")
+    out = stratified_sample(df, F.col("lang"), rates={"en": 0.3}, salt="t")
+    assert out.count() == 1
+
+
 def test_keep_bucket_salt_changes_sample(spark, docs):
     a = docs.where(keep_bucket(F.col("doc_id"), "s1") < RESOLUTION // 4)
     b = docs.where(keep_bucket(F.col("doc_id"), "s2") < RESOLUTION // 4)
@@ -62,6 +77,28 @@ def test_dedup_keep_best_clusters_and_policy(spark):
     assert out[10].is_kept and out[11].keep_doc_id == 10
     # cluster id = min member
     assert out[3].cluster == 1 and out[11].cluster == 10
+
+
+def test_dedup_keep_best_string_ids(spark):
+    """The documents schema says doc_id: string — the keeper tie-break must
+    not assume numeric ids (round 2 negated the id inside max_by and would
+    fail analysis here). Lexicographic min among quality ties."""
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("x2", "x1")],
+        "doc_a string, doc_b string",
+    )
+    quality = spark.createDataFrame(
+        [("doc-a", 0.5), ("doc-b", 0.9), ("doc-c", 0.9), ("x1", 0.3), ("x2", 0.7)],
+        "doc_id string, quality double",
+    )
+    out = {r.doc_id: r for r in dedup_keep_best(pairs, quality).collect()}
+    assert set(out) == {"doc-a", "doc-b", "doc-c", "x1", "x2"}
+    # {doc-a,doc-b,doc-c}: quality tie 0.9 between doc-b/doc-c -> min id doc-b
+    assert out["doc-a"].keep_doc_id == "doc-b" and out["doc-b"].is_kept
+    assert out["doc-c"].keep_doc_id == "doc-b" and not out["doc-c"].is_kept
+    # {x1,x2}: x2 wins on quality despite larger id
+    assert out["x1"].keep_doc_id == "x2" and out["x2"].is_kept
+    assert out["x1"].cluster == "x1"  # component id = min member
 
 
 # ---------------------------------------------------------------- property
