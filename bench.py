@@ -166,9 +166,19 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "kg_triples": kg_rows,
         "kg_docs_per_sec": round(n_docs / timings["kg_pipeline"], 1),
         "kg_steal_pct": detail["kg_pipeline"]["steal_pct"],
+        "kg_argmin_strategy": KG_ARGMIN_STRATEGY,
         "cpus": cpus,
         "steal_gate_pct": STEAL_OK_PCT,
     }
+
+
+# bench corpus is generated (unbucketed) and 40k-240k docs: the rank-1
+# window form measured faster than min_by at BOTH scales (interleaved
+# best-of-3, BENCH/ARGMIN_AB.md) — min_by's payload re-join branch re-reads
+# the corpus, which here costs more than the fat window shuffle it avoids.
+# min_by remains the form for broadcastable winners / doc_id-bucketed tables
+# (see episode_triples docstring).
+KG_ARGMIN_STRATEGY = "window_fat"
 
 
 def _run_kg(spark, n_docs: int) -> int:
@@ -181,7 +191,7 @@ def _run_kg(spark, n_docs: int) -> int:
     parts = 8 * spark.sparkContext.defaultParallelism
     docs = synthetic_documents(spark, n_docs, partitions=parts)
     meta = synthetic_doc_meta(spark, n_docs)
-    triples = run_pipeline(docs, meta, vocab)
+    triples = run_pipeline(docs, meta, vocab, argmin_strategy=KG_ARGMIN_STRATEGY)
     return triples.count()
 
 
@@ -262,6 +272,7 @@ def run_scaling(n_docs: int = 480_000) -> dict:
         )
     report = {
         "n_docs": n_docs,
+        "argmin_strategy": KG_ARGMIN_STRATEGY,
         "pairs": {
             "4v16": round((results[4]["secs"] / results[16]["secs"]) / 4, 3),
             "8v32": round((results[8]["secs"] / results[32]["secs"]) / 4, 3),

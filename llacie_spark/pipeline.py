@@ -205,12 +205,26 @@ def episode_triples(
 
     ``argmin_strategy``: ``"min_by"`` (the slim-agg + re-join plan above,
     default) or ``"window_fat"`` (the round-1 rank-1 window carrying the
-    ``spans`` payload through the episode shuffle — no re-join, but the
-    exchange moves every qualifying note's payload). The two are result-
-    identical (tests pin it); ``scripts/argmin_ab.py`` measures the
-    crossover so the choice is data, not vibes: window_fat can win at small
-    scale where the extra join's fixed cost dominates, min_by wins when
-    payload × qualifying-notes is the bottleneck.
+    ``spans`` payload through the episode shuffle — no re-join). The two are
+    result-identical (tests pin it); ``scripts/argmin_ab.py`` measures the
+    crossover so the choice is data, not vibes. Measured (interleaved
+    best-of-3, BENCH/ARGMIN_AB.md): window_fat wins at 40k docs (7.7 vs
+    10.5 s) and still at 240k (20.3 vs 21.7 s) on this host — min_by's
+    spans re-join branch re-reads/regenerates the payload column, which at
+    these scales costs more than the fat window shuffle it avoids.
+
+    When each form is right:
+
+    - **window_fat**: unbucketed small/mid corpora (one scan; the exchange
+      carries only QUALIFYING notes' payloads — after selective F1/F2/F4
+      filters that is a fraction of the corpus).
+    - **min_by**: the winners side fits broadcast (episodes ≪ docs), OR the
+      documents table is bucketed/clustered by doc_id (``io.write_bucketed``
+      / Iceberg bucket partitioning) so the re-join needs no exchange on the
+      payload side. When neither holds at 10^12 docs, the re-join would
+      itself shuffle the FULL payload column on doc_id — strictly worse than
+      window_fat's qualifying-only shuffle. Pick with measurements, not
+      slogans.
     """
     if argmin_strategy not in ("min_by", "window_fat"):
         raise ValueError(f"unknown argmin_strategy: {argmin_strategy!r}")

@@ -218,6 +218,18 @@ _SENT_SPLIT = re.compile(r"(?<=[.!?])\s+(?=[A-Z\"'(])")
 
 _URINARY_CONTEXT = re.compile(r"\b(urin|void|dysuria|bladder|urethral|uti)\w*", re.I)
 
+# precompiled _collect helpers (string-pattern re.* calls paid a cache
+# lookup per call — ~190k lookups per 2000 docs in the profile)
+_EXPOSURE_CUT = re.compile(r"\b(?:exposure|exposed|neighbor|roommate)\b.*$", re.I)
+_BECAME_PAINFUL = re.compile(r"\bbecame painful\b", re.I)
+_URGENCY = re.compile(r"\burgency\b", re.I)
+_BLACKENING = re.compile(r"\bblackening\b", re.I)
+_AFTER_N_OF = re.compile(r"\bafter\s+\d+\s+\w+\s+of\b", re.I)
+_ITEM_SPLIT = re.compile(r",|;|:|\b(?:and|with|plus)\b|/")
+_OCCASIONAL = re.compile(r"\boccasional(?:ly)?\b", re.I)
+_ANY_LETTER = re.compile(r"[a-zA-Z]")
+_LEADING_DENIAL = re.compile(r"^(?:no|not|denies|denied)\b", re.I)
+
 # "recent <wound-like condition> p/w ..." in the history segment: the
 # condition itself is a current finding when it is a wound (the "recent
 # plantar ulcer" case), unlike disease diagnoses (urosepsis, cellulitis).
@@ -253,6 +265,11 @@ def _strip_denials(sentence: str) -> str:
     return " ".join(p for p in out if p.strip())
 
 
+_SITE_CLASS_RX = {
+    cls: re.compile(rf"(?:{pat})\Z", re.I) for cls, pat in _SITE_CLASS.items()
+}
+
+
 def _site_class(raw_site: str) -> str | None:
     site = _SITE_MODIFIER.sub("", raw_site.lower()).strip()
     words = site.split()
@@ -260,8 +277,8 @@ def _site_class(raw_site: str) -> str | None:
     for k in range(len(words), 0, -1):
         for prefix in (words[:k], words[-k:]):
             cand = " ".join(prefix)
-            for cls, pat in _SITE_CLASS.items():
-                if re.fullmatch(pat, cand, re.I):
+            for cls, rx in _SITE_CLASS_RX.items():
+                if rx.match(cand):
                     return cls
     return None
 
@@ -299,9 +316,16 @@ _ADJACENT_RULES = [
 ]
 
 
+# every adjacency rewrite requires one of these symptom words; segments
+# without any (the common case) skip the whole rule loop
+_ADJACENT_GUARD = re.compile(r"\b(?:edema|swelling|pain|ache|ulcer|wound)\b", re.I)
+
+
 def _normalize_adjacent_sites(text: str) -> str:
     """Map adjacent site+symptom pairs: "LE pitting edema" -> "leg swelling",
     "plantar ulcer" -> "foot wound"."""
+    if not _ADJACENT_GUARD.search(text):
+        return text
     t = _PITTING.sub("edema", text)
     for pat, repl in _ADJACENT_RULES:
         t = pat.sub(repl, t)
@@ -455,44 +479,51 @@ class GazetteerScorer:
         ),
         (re.compile(r"\bdifficulty (?:walking|ambulating)\b", re.I), "difficulty walking"),
     ]
+    # one boolean scan gates the per-pattern loop: the vast majority of
+    # segments match no special, and N searches per segment dominated the
+    # scorer profile (re.search was ~25% of per-doc time)
+    _SPECIALS_ANY = re.compile(
+        "|".join(f"(?:{p.pattern})" for p, _ in _SPECIALS), re.I
+    )
 
     def _collect(self, segment: str, sentence: str, mentions: list[str]) -> None:
         segment = _SPECULATION.sub(" ", segment)
         # exposures are never presenting symptoms ("neighbor with bad cold")
-        segment = re.sub(r"\b(?:exposure|exposed|neighbor|roommate)\b.*$", "", segment, flags=re.I)
+        segment = _EXPOSURE_CUT.sub("", segment)
         site = _sentence_site(sentence)
-        if re.search(r"\bbecame painful\b", segment, re.I) and site in ("leg", "arm"):
-            segment = re.sub(r"\bbecame painful\b", " ", segment, flags=re.I)
+        if _BECAME_PAINFUL.search(segment) and site in ("leg", "arm"):
+            segment = _BECAME_PAINFUL.sub(" ", segment)
             self._add(mentions, f"{site} pain")
-        for pat, repl in self._SPECIALS:
-            if pat.search(segment):
-                segment = pat.sub(" ", segment)
-                self._add(mentions, repl)
-        if re.search(r"\burgency\b", segment, re.I) and _URINARY_CONTEXT.search(sentence):
-            segment = re.sub(r"\burgency\b", " ", segment, flags=re.I)
+        if self._SPECIALS_ANY.search(segment):
+            for pat, repl in self._SPECIALS:
+                if pat.search(segment):
+                    segment = pat.sub(" ", segment)
+                    self._add(mentions, repl)
+        if _URGENCY.search(segment) and _URINARY_CONTEXT.search(sentence):
+            segment = _URGENCY.sub(" ", segment)
             self._add(mentions, "urinary urgency")
-        if re.search(r"\bblackening\b", segment, re.I) and _sentence_site(sentence) == "foot":
+        if _BLACKENING.search(segment) and site == "foot":
             self._add(mentions, "foot wound")
 
         segment = _reorder_sites(segment)
         segment = _normalize_adjacent_sites(segment)
         # "X after 2 days of Y" buries Y in X's trailing cut — make Y its own item
-        segment = re.sub(r"\bafter\s+\d+\s+\w+\s+of\b", ", ", segment, flags=re.I)
+        segment = _AFTER_N_OF.sub(", ", segment)
 
-        for item in re.split(r",|;|:|\b(?:and|with|plus)\b|/", segment):
+        for item in _ITEM_SPLIT.split(segment):
             item = item.strip(" .-:\"'")
-            if re.search(r"\boccasional(?:ly)?\b", item, re.I):
+            if _OCCASIONAL.search(item):
                 continue  # "occasional X" is not a presenting complaint
             prev = None
             while prev != item:
                 prev = item
                 item = _QUALIFIER.sub("", item).strip()
                 item = _TRAILING.sub("", item).strip(" .-:\"'")
-            if not item or not re.search(r"[a-zA-Z]", item):
+            if not item or not _ANY_LETTER.search(item):
                 continue
             if _NONCLINICAL_ITEM.search(item):
                 continue
-            if re.match(r"^(?:no|not|denies|denied)\b", item, re.I):
+            if _LEADING_DENIAL.match(item):
                 continue
             words = [_SYMPTOM_WORD_MAP.get(w.lower(), w.lower()) for w in item.split()[:4]]
             item = " ".join(words)
@@ -500,7 +531,7 @@ class GazetteerScorer:
                 continue  # bare quality adjectives aren't named complaints
             # "throbbing pain" names the located pain when a limb is in
             # scope, otherwise the quality itself is the symptom
-            if re.fullmatch(r"throbbing pain", item):
+            if item == "throbbing pain":
                 item = f"{site} pain" if site in ("leg", "arm") else "throbbing"
                 if item == "throbbing" and any("pain" in c for c in self._covered):
                     continue  # pain already named; "throbbing" was its quality
