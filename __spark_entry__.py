@@ -633,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical": _q_kg_canonical,
         "media_features": _q_media_features,
         "png_features": _q_png_features,
+        "frame_features": _q_frame_features,
     }
 
 
@@ -819,6 +820,40 @@ def _q_png_features(spark, sf):
     return extract_media_features(media, decoder=PngDecoder()).select(
         "doc_id", "media_ref", "width", "height"
     )
+
+
+def _q_frame_features(spark, sf):
+    """Video frame sampling end-to-end: demux the framestack container by
+    its length prefixes, uniform-sample 3 frames, decode each sampled frame
+    (stdlib PNG). The oracle predicts frame count, sampled indices, and
+    dims from the ref-hash generation rule — a wrong demux offset, sample
+    rule, or decode shows up as a hash mismatch."""
+    from llacie_spark.corpus import reference_documents
+    from llacie_spark.operators.multimodal import sample_frames, synthetic_video_media
+
+    docs = reference_documents(spark, str(REPO / "fixtures/admission-100.txt"))
+    return sample_frames(synthetic_video_media(spark, docs), k=3).select(
+        "doc_id", "media_ref", "frame_idx", "n_frames", "width", "height"
+    )
+
+
+def _frame_features_sql() -> str:
+    h = portable_hash60_sql("s.media_ref")
+    return f"""
+with docs as (select doc_id, unnest(spans) as s from read_parquet('{_GOLDEN}/reference_docs.parquet')),
+vids as (
+  select doc_id, s.media_ref as media_ref,
+         cast(2 + ({h} // 256) % 6 as int) as n_frames,
+         cast(4 + {h} % 9 as int) as width,
+         cast(4 + ({h} // 16) % 7 as int) as height
+  from docs
+  where s.kind = 'media' and {h} % 3 = 2
+)
+select distinct doc_id, media_ref,
+       cast((t.i * n_frames) // 3 as int) as frame_idx,
+       n_frames, width, height
+from vids cross join range(3) t(i)
+"""
 
 
 def _png_features_sql() -> str:
@@ -1201,6 +1236,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_sql(),
         "media_features": _media_features_sql(),
         "png_features": _png_features_sql(),
+        "frame_features": _frame_features_sql(),
         "kg_triples": _kg_triples_sql(),
         "kg_relational": _kg_relational_sql(),
         "kg_linking": _kg_linking_sql(),

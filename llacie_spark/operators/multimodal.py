@@ -311,6 +311,136 @@ def synthetic_png_media(spark: SparkSession, documents: DataFrame) -> DataFrame:
     return refs.mapInPandas(gen, MEDIA)
 
 
+# ------------------------------------------------------------ frame sampling
+
+FRAMESTACK_MAGIC = b"FSTK"
+
+
+def encode_framestack(frames: list[bytes]) -> bytes:
+    """Minimal video-container stand-in: magic + frame count + length-
+    prefixed frame payloads. Real enough that sampling must actually demux
+    byte offsets (a wrong length prefix corrupts every later frame)."""
+    parts = [FRAMESTACK_MAGIC, struct.pack(">I", len(frames))]
+    for f in frames:
+        parts.append(struct.pack(">I", len(f)))
+        parts.append(f)
+    return b"".join(parts)
+
+
+def iter_framestack(data: bytes):
+    """Yield (frame_idx, frame_bytes) by walking the length prefixes."""
+    if data[:4] != FRAMESTACK_MAGIC:
+        raise ValueError("not a framestack payload")
+    (n,) = struct.unpack(">I", data[4:8])
+    pos = 8
+    for i in range(n):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        yield i, data[pos + 4 : pos + 4 + ln]
+        pos += 4 + ln
+
+
+def sample_frame_indices(n_frames: int, k: int) -> list[int]:
+    """Uniform deterministic sample: floor(i*n/k) for i in 0..k-1, deduped —
+    the rule an oracle reproduces with integer arithmetic; n <= k keeps all
+    frames."""
+    return sorted({(i * n_frames) // k for i in range(k)} & set(range(n_frames)))
+
+
+def synthetic_video_media(spark: SparkSession, documents: DataFrame) -> DataFrame:
+    """Video twin of :func:`synthetic_png_media`: refs typed 'video' by the
+    same pmod rule as :func:`synthetic_media` get a framestack payload of
+    2..7 real PNG frames; frame count and dims derive from the ref hash
+    (oracle-predictable), pixels vary per frame (so a demux bug that
+    returns the wrong frame yields different bytes)."""
+    from .porthash import portable_hash60
+
+    h = portable_hash60(F.col("s.media_ref"))
+    refs = (
+        documents.select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "media")
+        .where(F.pmod(h, F.lit(3)) == 2)  # the synthetic_media 'video' class
+        .select(
+            "doc_id",
+            F.col("s.media_ref").alias("media_ref"),
+            F.lit("video").alias("media_type"),
+            (F.lit(4) + F.pmod(h, F.lit(9))).cast("int").alias("width"),
+            (F.lit(4) + F.pmod(F.shiftright(h, 4), F.lit(7))).cast("int").alias("height"),
+            (F.lit(2) + F.pmod(F.shiftright(h, 8), F.lit(6))).cast("int").alias("n_frames"),
+        )
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for ref, w, hh, nf in zip(
+                pdf["media_ref"], pdf["width"], pdf["height"], pdf["n_frames"]
+            ):
+                seed = sum(ref.encode())
+                frames = [
+                    encode_png(
+                        [
+                            [((x * 13 + fi * 101 + seed) % 256, (y * 7 + fi) % 256, fi % 256)
+                             for x in range(int(w))]
+                            for y in range(int(hh))
+                        ]
+                    )
+                    for fi in range(int(nf))
+                ]
+                payloads.append(encode_framestack(frames))
+            out = pdf[["doc_id", "media_ref", "media_type"]].copy()
+            out["content"] = payloads
+            yield out
+
+    return refs.mapInPandas(gen, MEDIA)
+
+
+FRAME_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("frame_sha256", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, k: int = 3) -> DataFrame:
+    """Demux each video payload, keep a uniform deterministic sample of k
+    frames, decode each sampled frame (stdlib PNG codec): one mapInPandas
+    hop, rows = (doc_id, media_ref, frame_idx, n_frames, width, height,
+    frame digest). The training-pipeline frame-sampling shape: payload bytes
+    stay inside the task, only per-frame features come out."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, ref, content in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["content"]
+            ):
+                if content is None:
+                    continue
+                frames = dict(iter_framestack(bytes(content)))
+                keep = sample_frame_indices(len(frames), k)
+                for fi in keep:
+                    fb = frames[fi]
+                    try:
+                        w, h, _, _ = decode_png(fb)
+                    except (ValueError, zlib.error, struct.error):
+                        w = h = None
+                    rows.append(
+                        (doc_id, ref, fi, len(frames), w, h,
+                         hashlib.sha256(fb).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_FEATURES.fields]
+            )
+
+    return media.mapInPandas(gen, FRAME_FEATURES)
+
+
 def extract_media_features(media: DataFrame, decoder=None) -> DataFrame:
     """media -> MEDIA_FEATURES via mapInPandas: decoder constructed once per
     task, batches streamed (the multimodal twin of the batched scorer)."""

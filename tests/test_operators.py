@@ -315,6 +315,40 @@ def test_synthetic_png_media_dims_recovered(spark):
     assert got and got == expected
 
 
+def test_framestack_roundtrip_and_sampling_rule():
+    frames = [multimodal.encode_png([[(i, 0, 0)] * 2] * 2) for i in range(5)]
+    stack = multimodal.encode_framestack(frames)
+    back = dict(multimodal.iter_framestack(stack))
+    assert len(back) == 5 and all(back[i] == frames[i] for i in range(5))
+    # uniform deterministic sample: floor(i*n/k), deduped; n<=k keeps all
+    assert multimodal.sample_frame_indices(7, 3) == [0, 2, 4]
+    assert multimodal.sample_frame_indices(2, 3) == [0, 1]
+    assert multimodal.sample_frame_indices(3, 3) == [0, 1, 2]
+
+
+def test_sample_frames_through_spark(spark):
+    """Demux + sample + per-frame decode through mapInPandas: frame count,
+    sampled indices, and dims must match the hash-derived generation rule
+    (the frame_features oracle recomputes the same rule in SQL)."""
+    from llacie_spark.corpus import reference_documents
+
+    docs = reference_documents(spark).limit(20)
+    media = multimodal.synthetic_video_media(spark, docs)
+    rows = multimodal.sample_frames(media, k=3).collect()
+    assert rows
+    by_ref = {}
+    for r in rows:
+        by_ref.setdefault(r.media_ref, []).append(r)
+    for ref, rs in by_ref.items():
+        n = rs[0].n_frames
+        assert 2 <= n <= 7
+        assert sorted(r.frame_idx for r in rs) == multimodal.sample_frame_indices(n, 3)
+        # all frames of one video share hash-derived dims; digests differ
+        assert len({(r.width, r.height) for r in rs}) == 1
+        if len(rs) > 1:
+            assert len({r.frame_sha256 for r in rs}) == len(rs)
+
+
 def test_real_decoder_falls_back_to_stdlib_png():
     """RealDecoder no longer raises: without PIL it delegates PNG decode to
     the stdlib codec (the import guard just selects the backend)."""
