@@ -32,6 +32,12 @@ def main(argv: list[str]) -> None:
         help="registered scorer strategy name (scorer.find_scorers('*'))",
     )
     p.add_argument(
+        "--argmin-strategy", default="min_by", choices=["min_by", "window_fat"],
+        help="episode-argmin physical form (crossover: BENCH/ARGMIN_AB.md — "
+        "window_fat for unbucketed small/mid corpora, min_by when winners "
+        "broadcast or the docs table is doc_id-bucketed)",
+    )
+    p.add_argument(
         "--redo-older-than", default=None,
         help="ISO timestamp: re-extract committed rows older than this "
         "(staleness redo after a strategy upgrade; needs --stage-root)",
@@ -79,10 +85,15 @@ def main(argv: list[str]) -> None:
                 "extracted",
                 "doc_id",
             )
-        triples = episode_triples(cat.read_stage(spark, "extracted"), meta)
+        triples = episode_triples(
+            cat.read_stage(spark, "extracted"), meta,
+            argmin_strategy=args.argmin_strategy,
+        )
     else:
         n_todo = None
-        triples = run_pipeline(docs, meta, vocab, scorer=scorer)
+        triples = run_pipeline(
+            docs, meta, vocab, scorer=scorer, argmin_strategy=args.argmin_strategy
+        )
 
     stats = materialize_graph(triples, args.out, n_buckets=args.buckets)
     stats["wall_s"] = round(time.time() - t0, 2)

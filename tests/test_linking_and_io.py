@@ -170,6 +170,48 @@ def test_upsert_converts_flat_table_then_goes_incremental(spark, tmp_path):
     assert len(got) == 50 and got[3] == "y" and got[4] == "z"
 
 
+def test_bucketed_upsert_crash_before_publish_is_invisible(spark, tmp_path):
+    """A crash after bucket files are written but before the manifest
+    publish must leave the previous snapshot as the readable state — the
+    same commit contract the flat layout has."""
+    import shutil
+
+    from llacie_spark.io import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path))
+    base = spark.range(0, 100).withColumn("v", F.lit("a"))
+    cat.write_stage(base, "t", bucket_key="id", n_buckets=8)
+    # simulate the torn upsert: data for snap-1 exists, manifest still snap-0
+    batch = spark.createDataFrame([(5, "B")], "id long, v string")
+    cat.upsert(spark, batch, "t", "id")
+    manifest = (tmp_path / "t" / "_SNAPSHOT.json").read_text()
+    cat.upsert(spark, spark.createDataFrame([(6, "C")], "id long, v string"), "t", "id")
+    (tmp_path / "t" / "_SNAPSHOT.json").write_text(manifest)  # roll back commit
+    got = {r.id: r.v for r in cat.read_stage(spark, "t").collect()}
+    assert got[5] == "B" and got[6] == "a"  # snap-2 data invisible
+    # vacuum respects only the committed manifest: snap-2's orphan dir goes
+    removed = cat.vacuum("t")
+    assert "snap-2" in removed and not (tmp_path / "t" / "snap-2").exists()
+    assert {r.id: r.v for r in cat.read_stage(spark, "t").collect()} == got
+
+
+def test_vacuum_expires_fully_superseded_snapshots(spark, tmp_path):
+    """Upserting the same key twice supersedes the middle snapshot's only
+    bucket; vacuum removes exactly that directory."""
+    from llacie_spark.io import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write_stage(spark.range(0, 50).withColumn("v", F.lit("x")), "t",
+                    bucket_key="id", n_buckets=8)
+    one = spark.createDataFrame([(7, "y")], "id long, v string")
+    cat.upsert(spark, one, "t", "id")   # snap-1: only bucket(7)
+    cat.upsert(spark, one.withColumn("v", F.lit("z")), "t", "id")  # snap-2 supersedes it
+    assert cat.vacuum("t") == ["snap-1"]
+    assert not (tmp_path / "t" / "snap-1").exists()
+    got = {r.id: r.v for r in cat.read_stage(spark, "t").collect()}
+    assert len(got) == 50 and got[7] == "z" and got[8] == "x"
+
+
 def test_unfinished_rejects_malformed_cutoff(spark, tmp_path):
     import pytest
 
