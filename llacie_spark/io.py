@@ -132,6 +132,7 @@ class SnapshotCatalog:
             extra.update(
                 bucket_key=keys,
                 n_buckets=n_buckets,
+                columns=df.columns,  # the table schema every upsert must match
                 buckets={str(b): f"snap-{snap_id}" for b in written},
             )
         else:
@@ -222,36 +223,69 @@ class SnapshotCatalog:
                 f"table {name!r} is bucketed by {cur['bucket_key']}, upsert key {keys}"
             )
         n_buckets = cur["n_buckets"]
-        # touched buckets: at most n_buckets distinct ids — a driver-side
-        # collect of a bounded, tiny aggregate (never row data)
-        touched = sorted(
-            r[0]
-            for r in df.select(self._bucket_expr(keys, n_buckets).alias("b"))
-            .distinct()
-            .collect()
-        )
-        old_paths = [
-            str(self.root / name / cur["buckets"][str(b)] / f"_bucket={b}")
-            for b in touched
-            if str(b) in cur["buckets"]
-        ]
-        if old_paths:
-            old_touched = spark.read.parquet(*old_paths)
-            kept = old_touched.join(df.select(*keys).distinct(), keys, "left_anti")
-            merged = kept.unionByName(
-                df.select(*old_touched.columns), allowMissingColumns=False
+        # schema contract: the batch must carry exactly the table's columns.
+        # Without this check a new batch column would be silently dropped
+        # when merging with old buckets but WRITTEN when its keys hit only
+        # fresh buckets — mixed schemas across bucket files that a plain
+        # multi-path read resolves arbitrarily.
+        expected = cur.get("columns") or spark.read.parquet(
+            self._bucket_paths(name, cur)[0]
+        ).columns
+        if set(df.columns) != set(expected):
+            raise ValueError(
+                f"upsert batch columns {sorted(df.columns)} != table columns "
+                f"{sorted(expected)} for {name!r}"
             )
-        else:
-            merged = df
-        snap_id = cur["snapshot"] + 1
-        written = self._write_buckets(merged, name, snap_id, keys, n_buckets)
+        df = df.select(*expected)
+        # one evaluation of the batch feeds the touched-bucket collect AND
+        # the bucket write: without the persist, a nondeterministic lineage
+        # could hash keys into a bucket during the write that the touched
+        # set missed — moving that bucket's manifest pointer without
+        # carrying its old rows forward (silent row loss)
+        df = df.persist()
+        try:
+            # touched buckets: at most n_buckets distinct ids — a driver-side
+            # collect of a bounded, tiny aggregate (never row data)
+            touched = sorted(
+                r[0]
+                for r in df.select(self._bucket_expr(keys, n_buckets).alias("b"))
+                .distinct()
+                .collect()
+            )
+            old_paths = [
+                str(self.root / name / cur["buckets"][str(b)] / f"_bucket={b}")
+                for b in touched
+                if str(b) in cur["buckets"]
+            ]
+            if old_paths:
+                old_touched = spark.read.parquet(*old_paths)
+                kept = old_touched.join(df.select(*keys).distinct(), keys, "left_anti")
+                merged = kept.select(*expected).unionByName(df)
+            else:
+                merged = df
+            snap_id = cur["snapshot"] + 1
+            written = self._write_buckets(merged, name, snap_id, keys, n_buckets)
+        finally:
+            df.unpersist()
+        unexpected = [b for b in written if b not in touched]
+        if unexpected:
+            raise RuntimeError(
+                f"upsert wrote buckets {unexpected} outside the touched set "
+                f"{touched} — nondeterministic batch keys; table {name!r} "
+                "manifest NOT updated (previous snapshot remains committed)"
+            )
         buckets = dict(cur["buckets"])
         for b in written:
             buckets[str(b)] = f"snap-{snap_id}"
         self._publish(
             name,
             snap_id,
-            {"bucket_key": keys, "n_buckets": n_buckets, "buckets": buckets},
+            {
+                "bucket_key": keys,
+                "n_buckets": n_buckets,
+                "columns": expected,
+                "buckets": buckets,
+            },
         )
         return self.current_snapshot(name)
 

@@ -57,7 +57,11 @@ def _cache_shingles(sh: DataFrame) -> DataFrame:
         sh = sh.persist()
         _shingle_cache.append(sh)
         while len(_shingle_cache) > _SHINGLE_CACHE_MAX:
-            _shingle_cache.pop(0).unpersist()
+            evicted = _shingle_cache.pop(0)
+            try:
+                evicted.unpersist()
+            except Exception:
+                pass  # cached under a session that has since been stopped
         return sh
 
 

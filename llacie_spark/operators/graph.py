@@ -102,15 +102,27 @@ def connected_components(
     )
     e = raw.where(F.col("u") != F.col("v"))
     rounds = 0
+    converged = True
     if not e.isEmpty():
+        converged = False
         sig = _edge_signature(e)
         for _ in range(max_iterations):
             e = _small_star(_large_star(e)).localCheckpoint()
             rounds += 1
             new_sig = _edge_signature(e)
             if new_sig == sig:  # star forest: fixed point of both steps
+                converged = True
                 break
             sig = new_sig
+    if not converged:
+        # a non-star edge set would emit multiple conflicting components per
+        # node below — corrupt output that downstream joins silently
+        # duplicate. max_iterations=50 covers ~2^50 nodes; hitting it means
+        # something is wrong, so fail loudly rather than return garbage.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "large-star/small-star rounds; raise max_iterations"
+        )
     if stats is not None:
         stats["rounds"] = rounds
     # converged edge set is a star forest: every non-root points at its

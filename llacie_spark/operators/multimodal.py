@@ -422,13 +422,19 @@ def sample_frames(media: DataFrame, k: int = 3) -> DataFrame:
             ):
                 if content is None:
                     continue
-                frames = dict(iter_framestack(bytes(content)))
+                try:
+                    # a malformed container (bad magic, short/lying length
+                    # prefix) skips the payload, never the task — same
+                    # bad-byte policy as PngDecoder.decode_batch
+                    frames = dict(iter_framestack(bytes(content)))
+                except (ValueError, struct.error, IndexError):
+                    continue
                 keep = sample_frame_indices(len(frames), k)
                 for fi in keep:
                     fb = frames[fi]
                     try:
                         w, h, _, _ = decode_png(fb)
-                    except (ValueError, zlib.error, struct.error):
+                    except (ValueError, zlib.error, struct.error, IndexError):
                         w = h = None
                     rows.append(
                         (doc_id, ref, fi, len(frames), w, h,

@@ -27,7 +27,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-from bench import _cpu_stat, _steal_pct, STEAL_OK_PCT  # noqa: E402
+from bench import _cpu_stat, _steal_pct, STEAL_OK_PCT, wait_quiet  # noqa: E402
 from llacie_spark.corpus import synthetic_doc_meta, synthetic_documents  # noqa: E402
 from llacie_spark.pipeline import run_pipeline  # noqa: E402
 from llacie_spark.session import get_spark, prewarm_python_workers  # noqa: E402
@@ -41,28 +41,10 @@ MAX_WAIT_MIN = float(sys.argv[3]) if len(sys.argv) > 3 else 90.0
 FORMS = ("min_by", "window_fat")
 
 
-def steal_slice(secs: float = 2.0) -> float:
-    c0 = _cpu_stat()
-    time.sleep(secs)
-    return _steal_pct(c0, _cpu_stat())
-
-
 def wait_for_quiet(max_wait_min: float) -> bool:
-    """Block until 3 consecutive 2s slices show steal < 1% (instantaneous
-    slices, not run-window averages — epochs hide in averages)."""
-    deadline = time.time() + max_wait_min * 60
-    clean = 0
-    while time.time() < deadline:
-        s = steal_slice()
-        clean = clean + 1 if s < 1.0 else 0
-        if clean >= 3:
-            print(f"host quiet (3x2s slices < 1% steal)", flush=True)
-            return True
-        if clean == 0:
-            print(f"waiting for quiet host: steal slice {s}%", flush=True)
-            time.sleep(30)
-    print("WARNING: quiet-wait timed out; measuring on a noisy host", flush=True)
-    return False
+    """The shared quiet gate (bench.wait_quiet): instantaneous steal
+    slices, not run-window averages — epochs hide in averages."""
+    return wait_quiet(max_wait_min, verbose=True)
 
 
 def main() -> None:

@@ -212,6 +212,25 @@ def test_vacuum_expires_fully_superseded_snapshots(spark, tmp_path):
     assert len(got) == 50 and got[7] == "z" and got[8] == "x"
 
 
+def test_upsert_rejects_schema_mismatch(spark, tmp_path):
+    """A batch with extra or missing columns must raise, not be silently
+    dropped when merged with old buckets / written when it hits fresh ones
+    (mixed bucket schemas read back nondeterministically)."""
+    import pytest
+
+    from llacie_spark.io import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write_stage(spark.range(0, 20).withColumn("v", F.lit("x")), "t",
+                    bucket_key="id", n_buckets=4)
+    extra = spark.createDataFrame([(1, "y", 9)], "id long, v string, w long")
+    with pytest.raises(ValueError, match="batch columns"):
+        cat.upsert(spark, extra, "t", "id")
+    missing = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="batch columns"):
+        cat.upsert(spark, missing, "t", "id")
+
+
 def test_unfinished_rejects_malformed_cutoff(spark, tmp_path):
     import pytest
 

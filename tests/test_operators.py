@@ -349,6 +349,32 @@ def test_sample_frames_through_spark(spark):
             assert len({r.frame_sha256 for r in rs}) == len(rs)
 
 
+def test_sample_frames_skips_malformed_payloads(spark):
+    """A corrupt container skips the payload (bad-byte policy), never the
+    task; valid payloads in the same batch still produce rows."""
+    good = multimodal.encode_framestack(
+        [multimodal.encode_png([[(1, 2, 3)] * 2] * 2) for _ in range(2)]
+    )
+    rows = [
+        ("d1", "ok", "video", bytearray(good)),
+        ("d1", "bad-magic", "video", bytearray(b"garbage-not-a-stack")),
+        ("d1", "truncated", "video", bytearray(good[: len(good) // 2])),
+        ("d2", "null", "video", None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA)
+    out = multimodal.sample_frames(media, k=3).collect()
+    assert {r.media_ref for r in out} == {"ok"}
+    assert sorted(r.frame_idx for r in out) == [0, 1]
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(32)], "src string, dst string"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(edges, max_iterations=1)
+
+
 def test_real_decoder_falls_back_to_stdlib_png():
     """RealDecoder no longer raises: without PIL it delegates PNG decode to
     the stdlib codec (the import guard just selects the backend)."""
