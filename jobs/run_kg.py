@@ -28,6 +28,13 @@ def main(argv: list[str]) -> None:
     p.add_argument("--stage-root", default=None, help="snapshot checkpoint root (enables resume)")
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument(
+        "--stage-buckets", default="32",
+        help="snapshot-catalog upsert bucket count: an int sized for the "
+        "table's expected volume, or 'auto' to size from the first batch "
+        "(~1M rows/bucket); hot buckets split later via "
+        "SnapshotCatalog.split_buckets without a full rewrite",
+    )
+    p.add_argument(
         "--scorer", default="feature.presenting_sx.gazetteer",
         help="registered scorer strategy name (scorer.find_scorers('*'))",
     )
@@ -79,11 +86,17 @@ def main(argv: list[str]) -> None:
         )
         n_todo = todo.count()
         if n_todo:
+            stage_buckets = (
+                args.stage_buckets
+                if args.stage_buckets == "auto"
+                else int(args.stage_buckets)
+            )
             cat.upsert(
                 spark,
                 fused_extract(assemble_text(todo), vocab, scorer=scorer),
                 "extracted",
                 "doc_id",
+                n_buckets=stage_buckets,
             )
         triples = episode_triples(
             cat.read_stage(spark, "extracted"), meta,

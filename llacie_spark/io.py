@@ -23,11 +23,28 @@ is implemented over parquet directories with a JSON snapshot manifest:
   table size (the reference's upsert likewise touches only conflicting rows;
   Iceberg MERGE INTO rewrites only affected files). Untouched bucket files
   are carried forward by reference, byte-identical.
+- :func:`split_buckets` — per-bucket layout migration. A bucket count fixed
+  at creation quietly turns the O(batch) upsert claim into O(table/n) per
+  touched bucket once the table outgrows it (at 100 TB, 32 buckets is 3 TB
+  per bucket). Splitting doubles ONE base bucket's modulus — extendible
+  hashing: rows with ``hash % n == b`` re-land at ``hash % 2n`` into the two
+  child buckets — rewriting only that bucket's files; every other bucket's
+  files stay byte-identical. The manifest records a per-base-bucket modulus
+  (``bucket_mods``), so differently-deep buckets coexist and hot buckets can
+  be split repeatedly (2n → 4n → ...) without ever touching cold data.
 
 Layout per table::
 
-    <root>/<name>/snap-<k>/_bucket=<b>/part-*.parquet  # bucket b, written at k
-    <root>/<name>/_SNAPSHOT.json  # {"snapshot": k, "buckets": {"b": "snap-j"}}
+    <root>/<name>/snap-<k>/_mod=<m>/_bucket=<b>/part-*.parquet
+    <root>/<name>/_SNAPSHOT.json
+    #  {"snapshot": k, "n_buckets": n, "bucket_mods": {"3": 2n, ...},
+    #   "columns": [["k","bigint"], ...], "buckets": {"b@m": "snap-j", ...}}
+
+A key with hash h belongs to bucket ``(h % m_b) @ m_b`` where ``m_b`` is the
+modulus recorded for its base bucket ``h % n`` (n if never split). Manifest
+bucket entries created before the split feature use the legacy ``"b"`` key
+and ``snap-<k>/_bucket=<b>`` path; both are read transparently and upgraded
+to the ``"b@m"`` form whenever the bucket is next rewritten.
 
 (Unbucketed tables — written without a key — keep the flat
 ``snap-<k>/part-*.parquet`` layout; the first upsert converts them.)
@@ -36,6 +53,7 @@ Layout per table::
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from pathlib import Path
@@ -73,36 +91,121 @@ class SnapshotCatalog:
     # ------------------------------------------------------------ bucketing
 
     @staticmethod
-    def _bucket_expr(keys: list[str], n_buckets: int):
-        """Deterministic key-hash bucket id. xxhash64 (JVM, codegen'd) over
-        the key columns; same expression every write so a key always lands
-        in the same bucket across snapshots."""
-        return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
+    def _hash_expr(keys: list[str]):
+        """Deterministic key hash. xxhash64 (JVM, codegen'd) over the key
+        columns; same expression every write so a key always hashes the same
+        across snapshots and splits."""
+        return F.xxhash64(*[F.col(k) for k in keys])
 
-    def _write_buckets(self, df: DataFrame, name: str, snap_id: int, keys: list[str], n_buckets: int) -> list[int]:
-        """Write ``df`` under ``snap-<id>/_bucket=<b>/``; return bucket ids
-        written. One output file per bucket per snapshot (the repartition is
-        on the bucket id, so a 1000-executor write still produces
-        ``n_buckets`` files, not executors × buckets)."""
+    @classmethod
+    def _mod_expr(cls, keys: list[str], base: int, bucket_mods: dict[int, int]):
+        """Per-row modulus: the recorded modulus of the row's base bucket
+        (``base`` if that bucket was never split). A when-chain over the few
+        DISTINCT moduli present, not over buckets — stays a codegen'd
+        expression even with thousands of split buckets."""
+        base_b = F.pmod(cls._hash_expr(keys), F.lit(base))
+        by_mod: dict[int, list[int]] = {}
+        for b, m in (bucket_mods or {}).items():
+            by_mod.setdefault(int(m), []).append(int(b))
+        expr = None
+        for m, ids in sorted(by_mod.items()):
+            cond = base_b.isin(ids)
+            expr = F.when(cond, F.lit(m)) if expr is None else expr.when(cond, F.lit(m))
+        return expr.otherwise(F.lit(base)) if expr is not None else F.lit(base)
+
+    @classmethod
+    def _assignment_exprs(cls, keys: list[str], base: int, bucket_mods: dict[int, int]):
+        mod = cls._mod_expr(keys, base, bucket_mods)
+        return mod, F.pmod(cls._hash_expr(keys), mod)
+
+    @staticmethod
+    def _choose_n_buckets(rows: int, target_rows_per_bucket: int) -> int:
+        """Size the base bucket count from expected volume: next power of two
+        of rows/target, floored at 8 (parallelism even for tiny tables),
+        capped at 2^18 (beyond that, split hot buckets instead of paying a
+        quarter-million output files on every snapshot)."""
+        n = max(8, 1 << math.ceil(math.log2(max(1.0, rows / target_rows_per_bucket))))
+        return min(n, 1 << 18)
+
+    def _write_buckets(
+        self,
+        df: DataFrame,
+        name: str,
+        snap_id: int,
+        keys: list[str],
+        base: int,
+        bucket_mods: dict[int, int] | None = None,
+    ) -> list[tuple[int, int]]:
+        """Write ``df`` under ``snap-<id>/_mod=<m>/_bucket=<b>/``; return the
+        (bucket, modulus) pairs written. One output file per bucket per
+        snapshot (the repartition is on the assignment, so a 1000-executor
+        write still produces one file per leaf bucket, not executors ×
+        buckets)."""
+        bucket_mods = bucket_mods or {}
         path = self.root / name / f"snap-{snap_id}"
-        out = df.withColumn("_bucket", self._bucket_expr(keys, n_buckets))
+        mod, bucket = self._assignment_exprs(keys, base, bucket_mods)
+        out = df.withColumn("_mod", mod).withColumn("_bucket", bucket)
+        n_leaves = base - len(bucket_mods) + sum(
+            m // base for m in bucket_mods.values()
+        )
         (
-            out.repartition(n_buckets, "_bucket")
+            out.repartition(n_leaves, "_mod", "_bucket")
             .write.mode("overwrite")
-            .partitionBy("_bucket")
+            .partitionBy("_mod", "_bucket")
             .parquet(str(path))
         )
-        return sorted(
-            int(p.name.split("=", 1)[1])
-            for p in path.iterdir()
-            if p.is_dir() and p.name.startswith("_bucket=")
-        )
+        written = []
+        for mdir in path.iterdir():
+            if mdir.is_dir() and mdir.name.startswith("_mod="):
+                m = int(mdir.name.split("=", 1)[1])
+                for bdir in mdir.iterdir():
+                    if bdir.is_dir() and bdir.name.startswith("_bucket="):
+                        written.append((int(bdir.name.split("=", 1)[1]), m))
+        return sorted(written)
+
+    def _entry_path(self, name: str, snap: str, entry_key: str) -> Path:
+        """Filesystem path for a manifest bucket entry. ``"b@m"`` is the
+        current layout; a bare ``"b"`` is a legacy pre-split entry living at
+        ``snap/_bucket=b`` (modulus == n_buckets)."""
+        if "@" in entry_key:
+            b, m = entry_key.split("@", 1)
+            return self.root / name / snap / f"_mod={m}" / f"_bucket={b}"
+        return self.root / name / snap / f"_bucket={entry_key}"
+
+    @staticmethod
+    def _entry_bucket_mod(entry_key: str, base: int) -> tuple[int, int]:
+        if "@" in entry_key:
+            b, m = entry_key.split("@", 1)
+            return int(b), int(m)
+        return int(entry_key), base
 
     def _bucket_paths(self, name: str, cur: dict) -> list[str]:
         return [
-            str(self.root / name / snap / f"_bucket={b}")
-            for b, snap in sorted(cur["buckets"].items(), key=lambda kv: int(kv[0]))
+            str(self._entry_path(name, snap, k))
+            for k, snap in sorted(cur["buckets"].items())
         ]
+
+    @staticmethod
+    def _entry_for(b: int, m: int) -> str:
+        return f"{b}@{m}"
+
+    @staticmethod
+    def _schema_pairs(cur: dict) -> list[list[str]] | None:
+        """Manifest ``columns`` as (name, dtype) pairs, or None when the
+        manifest predates dtype recording (legacy: names only)."""
+        cols = cur.get("columns")
+        if cols and all(isinstance(c, (list, tuple)) and len(c) == 2 for c in cols):
+            return [list(c) for c in cols]
+        return None
+
+    @staticmethod
+    def _column_names(cur: dict) -> list[str] | None:
+        cols = cur.get("columns")
+        if not cols:
+            return None
+        if all(isinstance(c, str) for c in cols):
+            return list(cols)
+        return [c[0] for c in cols]
 
     # ----------------------------------------------------------------- api
 
@@ -112,7 +215,8 @@ class SnapshotCatalog:
         name: str,
         meta: dict | None = None,
         bucket_key: str | list[str] | None = None,
-        n_buckets: int = 32,
+        n_buckets: int | str = 32,
+        target_rows_per_bucket: int = 1_000_000,
     ) -> dict:
         """Materialize ``df`` as the next snapshot of ``name`` and commit.
 
@@ -121,19 +225,37 @@ class SnapshotCatalog:
         snapshot as the readable state — rerunning the stage is safe.
 
         With ``bucket_key`` the data is laid out in key-hash buckets so later
-        :meth:`upsert` calls rewrite only touched buckets."""
+        :meth:`upsert` calls rewrite only touched buckets. ``n_buckets`` is a
+        SCALE decision made at creation: pass an explicit count sized for the
+        table's expected volume, or ``"auto"`` to size it from the batch
+        being written (one extra count of the persisted batch; power of two
+        ≥ rows/``target_rows_per_bucket``). Outgrown buckets are split later
+        with :meth:`split_buckets` — no full rewrite ever required."""
         cur = self.current_snapshot(name)
         snap_id = (cur["snapshot"] + 1) if cur else 0
         path = self.root / name / f"snap-{snap_id}"
         extra = dict(meta or {})
         if bucket_key is not None:
             keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
+            persisted_here = False
+            if n_buckets == "auto":
+                df = df.persist()
+                persisted_here = True
+                n_buckets = self._choose_n_buckets(df.count(), target_rows_per_bucket)
             written = self._write_buckets(df, name, snap_id, keys, n_buckets)
+            if persisted_here:
+                df.unpersist()
             extra.update(
                 bucket_key=keys,
                 n_buckets=n_buckets,
-                columns=df.columns,  # the table schema every upsert must match
-                buckets={str(b): f"snap-{snap_id}" for b in written},
+                bucket_mods={},
+                # the table schema every upsert must match: names AND dtypes
+                # (a drifted type would write mixed-type parquet across
+                # bucket snapshots that multi-path reads resolve arbitrarily)
+                columns=[[c, t] for c, t in df.dtypes],
+                buckets={
+                    self._entry_for(b, m): f"snap-{snap_id}" for b, m in written
+                },
             )
         else:
             df.write.mode("overwrite").parquet(str(path))
@@ -189,13 +311,44 @@ class SnapshotCatalog:
             done = done.where(F.col(updated_col) >= F.lit(redo_older_than))
         return input_df.join(done.select(*keys).distinct(), keys, "left_anti")
 
+    def _check_schema(self, spark, df: DataFrame, name: str, cur: dict) -> list[str]:
+        """Enforce the table schema contract on an upsert batch: exact column
+        NAME set, and — when the manifest records dtypes — exact dtypes too.
+        Returns the table's column order."""
+        expected = self._column_names(cur) or spark.read.parquet(
+            self._bucket_paths(name, cur)[0]
+        ).columns
+        if set(df.columns) != set(expected):
+            raise ValueError(
+                f"upsert batch columns {sorted(df.columns)} != table columns "
+                f"{sorted(expected)} for {name!r}"
+            )
+        pairs = self._schema_pairs(cur)
+        if pairs is not None:
+            want = dict((c, t) for c, t in pairs)
+            got = dict(df.dtypes)
+            drift = {
+                c: (want[c], got[c]) for c in want if got.get(c) != want[c]
+            }
+            if drift:
+                detail = ", ".join(
+                    f"{c}: table={w} batch={g}" for c, (w, g) in sorted(drift.items())
+                )
+                raise ValueError(
+                    f"upsert batch dtype drift for {name!r}: {detail} — a "
+                    "drifted type would write mixed-type parquet files "
+                    "across bucket snapshots; cast the batch explicitly"
+                )
+        return expected
+
     def upsert(
         self,
         spark: SparkSession,
         df: DataFrame,
         name: str,
         key: str | list[str],
-        n_buckets: int = 32,
+        n_buckets: int | str = 32,
+        target_rows_per_bucket: int = 1_000_000,
     ) -> dict:
         """Replace committed rows whose key appears in ``df``; keep others —
         Iceberg ``MERGE INTO ... WHEN MATCHED THEN UPDATE`` semantics.
@@ -207,35 +360,33 @@ class SnapshotCatalog:
         reread, rewritten, or even opened, so upsert IO is O(batch + touched
         buckets), not O(table). A table first written without buckets is
         converted to the bucketed layout on its first upsert (one full
-        rewrite, then incremental forever)."""
+        rewrite, then incremental forever). ``n_buckets`` only applies when
+        this call CREATES the layout (first write / flat conversion — pass
+        ``"auto"`` to size from the data); afterwards it comes from the
+        manifest and per-bucket growth is handled by :meth:`split_buckets`."""
         keys = [key] if isinstance(key, str) else list(key)
         cur = self.current_snapshot(name)
         if cur is None:
-            return self.write_stage(df, name, bucket_key=keys, n_buckets=n_buckets)
+            return self.write_stage(
+                df, name, bucket_key=keys, n_buckets=n_buckets,
+                target_rows_per_bucket=target_rows_per_bucket,
+            )
         if not cur.get("bucket_key"):
             # legacy flat table: one-time conversion to the bucketed layout
             existing = self.read_stage(spark, name)
             kept = existing.join(df.select(*keys).distinct(), keys, "left_anti")
             merged = kept.unionByName(df, allowMissingColumns=False)
-            return self.write_stage(merged, name, bucket_key=keys, n_buckets=n_buckets)
+            return self.write_stage(
+                merged, name, bucket_key=keys, n_buckets=n_buckets,
+                target_rows_per_bucket=target_rows_per_bucket,
+            )
         if cur["bucket_key"] != keys:
             raise ValueError(
                 f"table {name!r} is bucketed by {cur['bucket_key']}, upsert key {keys}"
             )
-        n_buckets = cur["n_buckets"]
-        # schema contract: the batch must carry exactly the table's columns.
-        # Without this check a new batch column would be silently dropped
-        # when merging with old buckets but WRITTEN when its keys hit only
-        # fresh buckets — mixed schemas across bucket files that a plain
-        # multi-path read resolves arbitrarily.
-        expected = cur.get("columns") or spark.read.parquet(
-            self._bucket_paths(name, cur)[0]
-        ).columns
-        if set(df.columns) != set(expected):
-            raise ValueError(
-                f"upsert batch columns {sorted(df.columns)} != table columns "
-                f"{sorted(expected)} for {name!r}"
-            )
+        base = cur["n_buckets"]
+        bucket_mods = {int(k): int(v) for k, v in (cur.get("bucket_mods") or {}).items()}
+        expected = self._check_schema(spark, df, name, cur)
         df = df.select(*expected)
         # one evaluation of the batch feeds the touched-bucket collect AND
         # the bucket write: without the persist, a nondeterministic lineage
@@ -244,19 +395,24 @@ class SnapshotCatalog:
         # carrying its old rows forward (silent row loss)
         df = df.persist()
         try:
-            # touched buckets: at most n_buckets distinct ids — a driver-side
-            # collect of a bounded, tiny aggregate (never row data)
+            # touched buckets: a driver-side collect of a bounded, tiny
+            # aggregate (never row data) — at most one (bucket, mod) pair
+            # per leaf bucket
+            mod, bucket = self._assignment_exprs(keys, base, bucket_mods)
             touched = sorted(
-                r[0]
-                for r in df.select(self._bucket_expr(keys, n_buckets).alias("b"))
+                (r["b"], r["m"])
+                for r in df.select(bucket.alias("b"), mod.alias("m"))
                 .distinct()
                 .collect()
             )
-            old_paths = [
-                str(self.root / name / cur["buckets"][str(b)] / f"_bucket={b}")
-                for b in touched
-                if str(b) in cur["buckets"]
-            ]
+            old_paths = []
+            for b, m in touched:
+                entry = self._entry_for(b, m)
+                snap = cur["buckets"].get(entry)
+                if snap is None and m == base:
+                    snap = cur["buckets"].get(str(b))  # legacy pre-split entry
+                if snap is not None:
+                    old_paths.append(str(self._entry_path(name, snap, entry if entry in cur["buckets"] else str(b))))
             if old_paths:
                 old_touched = spark.read.parquet(*old_paths)
                 kept = old_touched.join(df.select(*keys).distinct(), keys, "left_anti")
@@ -264,10 +420,10 @@ class SnapshotCatalog:
             else:
                 merged = df
             snap_id = cur["snapshot"] + 1
-            written = self._write_buckets(merged, name, snap_id, keys, n_buckets)
+            written = self._write_buckets(merged, name, snap_id, keys, base, bucket_mods)
         finally:
             df.unpersist()
-        unexpected = [b for b in written if b not in touched]
+        unexpected = [bm for bm in written if bm not in touched]
         if unexpected:
             raise RuntimeError(
                 f"upsert wrote buckets {unexpected} outside the touched set "
@@ -275,33 +431,140 @@ class SnapshotCatalog:
                 "manifest NOT updated (previous snapshot remains committed)"
             )
         buckets = dict(cur["buckets"])
-        for b in written:
-            buckets[str(b)] = f"snap-{snap_id}"
+        for b, m in written:
+            buckets[self._entry_for(b, m)] = f"snap-{snap_id}"
+            if m == base:
+                buckets.pop(str(b), None)  # upgrade superseded legacy entry
         self._publish(
             name,
             snap_id,
             {
                 "bucket_key": keys,
-                "n_buckets": n_buckets,
-                "columns": expected,
+                "n_buckets": base,
+                "bucket_mods": {str(k): v for k, v in bucket_mods.items()},
+                "columns": [[c, t] for c, t in merged.select(*expected).dtypes],
                 "buckets": buckets,
             },
         )
         return self.current_snapshot(name)
 
-    def vacuum(self, name: str) -> list[str]:
+    def split_buckets(
+        self,
+        spark: SparkSession,
+        name: str,
+        base_ids: list[int],
+        factor: int = 2,
+    ) -> dict:
+        """Double (``factor``-fold) the modulus of the given BASE buckets,
+        rewriting only their files — the layout migration that keeps upserts
+        O(batch) as a table grows past its creation-time bucket sizing.
+
+        Extendible hashing: base bucket ``b`` currently at modulus ``m``
+        holds keys with ``hash % base == b``; after the split those keys
+        re-land at ``hash % (m*factor)``, fanning out into ``factor``× as
+        many leaf buckets. Files of every other bucket are untouched
+        (byte-identical across the migration — tested) and the manifest
+        update is the same atomic publish as any commit, so a crash
+        mid-split leaves the old layout committed. Iceberg's analog is file-
+        granularity MERGE; the reference's upsert touches only conflicting
+        rows (``llacie/db.py:650-665``) — this brings the parquet layout's
+        granularity arbitrarily close to that as data grows."""
+        if factor < 2 or factor & (factor - 1):
+            raise ValueError(f"factor must be a power of two >= 2, got {factor}")
+        cur = self.current_snapshot(name)
+        if not cur or not cur.get("bucket_key"):
+            raise ValueError(f"table {name!r} is not a committed bucketed table")
+        base = cur["n_buckets"]
+        keys = cur["bucket_key"]
+        bucket_mods = {int(k): int(v) for k, v in (cur.get("bucket_mods") or {}).items()}
+        base_ids = sorted(set(int(b) for b in base_ids))
+        bad = [b for b in base_ids if not (0 <= b < base)]
+        if bad:
+            raise ValueError(f"base bucket ids out of range [0,{base}): {bad}")
+        new_mods = dict(bucket_mods)
+        old_entry_keys: list[str] = []
+        old_paths: list[str] = []
+        for b in base_ids:
+            m = bucket_mods.get(b, base)
+            new_mods[b] = m * factor
+            # leaf buckets under base bucket b at modulus m
+            for c in range(b, m, base):
+                for entry in (self._entry_for(c, m), str(c) if m == base else None):
+                    if entry is not None and entry in cur["buckets"]:
+                        old_entry_keys.append(entry)
+                        old_paths.append(
+                            str(self._entry_path(name, cur["buckets"][entry], entry))
+                        )
+        snap_id = cur["snapshot"] + 1
+        written: list[tuple[int, int]] = []
+        if old_paths:
+            rows = spark.read.parquet(*old_paths)
+            written = self._write_buckets(rows, name, snap_id, keys, base, new_mods)
+            stray = [bm for bm in written if bm[0] % base not in base_ids]
+            if stray:
+                raise RuntimeError(
+                    f"split rewrote buckets {stray} outside the split set "
+                    f"{base_ids}; manifest NOT updated"
+                )
+        buckets = dict(cur["buckets"])
+        for entry in old_entry_keys:
+            buckets.pop(entry, None)
+        for b, m in written:
+            buckets[self._entry_for(b, m)] = f"snap-{snap_id}"
+        self._publish(
+            name,
+            snap_id,
+            {
+                "bucket_key": keys,
+                "n_buckets": base,
+                "bucket_mods": {str(k): v for k, v in new_mods.items()},
+                "columns": cur.get("columns"),
+                "buckets": buckets,
+            },
+        )
+        return self.current_snapshot(name)
+
+    def bucket_sizes(self, name: str) -> dict[str, int]:
+        """Bytes on disk per manifest bucket entry — the split-decision
+        input (split every bucket over ~2× the target size). Driver-side
+        directory stat, no Spark job."""
+        cur = self.current_snapshot(name)
+        if not cur or not cur.get("buckets"):
+            return {}
+        out = {}
+        for entry, snap in cur["buckets"].items():
+            p = self._entry_path(name, snap, entry)
+            out[entry] = sum(f.stat().st_size for f in p.glob("*.parquet")) if p.exists() else 0
+        return out
+
+    def vacuum(self, name: str, older_than_s: float | None = None) -> list[str]:
         """Delete snapshot directories no longer referenced by the current
-        manifest (Iceberg ``expire_snapshots``). Safe after any commit;
-        returns the removed directory names."""
+        manifest (Iceberg ``expire_snapshots``); returns the removed
+        directory names.
+
+        CONTRACT: readers are lazy — a DataFrame returned by
+        :meth:`read_stage` is pinned to specific ``snap-*`` paths, so a
+        vacuum issued after a LATER commit can delete directories that a
+        still-unevaluated earlier reader references (its action then fails
+        with FileNotFoundError). Run vacuum only when no readers hold
+        pre-commit DataFrames (single-writer, no-open-readers), or pass
+        ``older_than_s`` — Iceberg's ``expire_snapshots(older_than=...)`` —
+        to retain recently-written directories as a grace window for
+        in-flight readers."""
         import shutil
 
         cur = self.current_snapshot(name)
         if cur is None:
             return []
-        live = {f"snap-{cur['snapshot']}"} | set(cur.get("buckets", {}).values())
+        live = {f"snap-{cur['snapshot']}"} | {
+            snap for snap in cur.get("buckets", {}).values()
+        }
+        cutoff = None if older_than_s is None else time.time() - older_than_s
         removed = []
         for p in (self.root / name).iterdir():
             if p.is_dir() and p.name.startswith("snap-") and p.name not in live:
+                if cutoff is not None and p.stat().st_mtime >= cutoff:
+                    continue  # inside the retention grace window
                 shutil.rmtree(p)
                 removed.append(p.name)
         return sorted(removed)

@@ -107,12 +107,21 @@ def connected_components(
         converged = False
         sig = _edge_signature(e)
         for _ in range(max_iterations):
+            prev = e
             e = _small_star(_large_star(e)).localCheckpoint()
             rounds += 1
             new_sig = _edge_signature(e)
-            if new_sig == sig:  # star forest: fixed point of both steps
-                converged = True
-                break
+            if new_sig == sig:
+                # Signature match is the fast path; confirm the fixed point
+                # exactly before trusting it — a (count, hash-sum) collision
+                # between different edge sets (~2^-64) would otherwise emit
+                # corrupt components silently. Both sides are distinct sets
+                # with equal counts (the signature includes the count), so
+                # one-direction exceptAll-empty proves set equality. Runs at
+                # most once per call, on already-checkpointed inputs.
+                if e.exceptAll(prev).isEmpty():
+                    converged = True
+                    break
             sig = new_sig
     if not converged:
         # a non-star edge set would emit multiple conflicting components per

@@ -141,9 +141,8 @@ def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     assert after == before
     # the new snapshot dir holds only the touched buckets
     new_buckets = {
-        p.name.split("=")[1]
-        for p in (tmp_path / "t" / "snap-1").iterdir()
-        if p.name.startswith("_bucket=")
+        f"{p.name.split('=')[1]}@{p.parent.name.split('=')[1]}"
+        for p in (tmp_path / "t" / "snap-1").glob("_mod=*/_bucket=*")
     }
     assert new_buckets == touched
 
@@ -229,6 +228,123 @@ def test_upsert_rejects_schema_mismatch(spark, tmp_path):
     missing = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="batch columns"):
         cat.upsert(spark, missing, "t", "id")
+
+
+def test_upsert_rejects_dtype_drift(spark, tmp_path):
+    """Same column NAMES but a drifted TYPE must raise (ADVICE r3): a
+    string-typed v merged into a long-typed table would write mixed-type
+    parquet across bucket snapshots that multi-path reads resolve
+    arbitrarily."""
+    import pytest
+
+    from llacie_spark.io import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write_stage(spark.range(0, 20).withColumn("v", F.lit(1).cast("long")), "t",
+                    bucket_key="id", n_buckets=4)
+    drifted = spark.createDataFrame([(1, "oops")], "id long, v string")
+    with pytest.raises(ValueError, match="dtype drift"):
+        cat.upsert(spark, drifted, "t", "id")
+    # correctly-typed batch still goes through
+    ok = spark.createDataFrame([(1, 99)], "id long, v long")
+    cat.upsert(spark, ok, "t", "id")
+    assert {r.id: r.v for r in cat.read_stage(spark, "t").collect()}[1] == 99
+
+
+def test_split_buckets_rewrites_only_split_bucket(spark, tmp_path):
+    """The layout migration (VERDICT r3 #2): splitting one base bucket to a
+    deeper modulus must leave every other bucket's files byte-identical, and
+    upserts after the migration must stay incremental (touch only the leaf
+    buckets the batch hashes into, at the right modulus)."""
+    import hashlib
+
+    from llacie_spark.io import SnapshotCatalog
+
+    def file_digests(d):
+        return {
+            str(p.relative_to(tmp_path)): hashlib.md5(p.read_bytes()).hexdigest()
+            for p in d.rglob("*.parquet")
+        }
+
+    cat = SnapshotCatalog(str(tmp_path))
+    base = spark.range(0, 2000).withColumn("v", F.col("id") * 3)
+    cat.write_stage(base, "t", bucket_key="id", n_buckets=8)
+    before = file_digests(tmp_path / "t" / "snap-0")
+    rows_before = {r.id: r.v for r in cat.read_stage(spark, "t").collect()}
+
+    cat.split_buckets(spark, "t", [3])
+    snap = cat.current_snapshot("t")
+    assert snap["bucket_mods"] == {"3": 16}
+    # bucket 3's old entry is gone; children 3@16 and 11@16 now exist
+    assert "3@8" not in snap["buckets"]
+    children = {k for k in snap["buckets"] if k.endswith("@16")}
+    assert children <= {"3@16", "11@16"} and children
+    # every other bucket still points at snap-0, files byte-identical
+    untouched = {k: s for k, s in snap["buckets"].items() if k not in children}
+    assert set(untouched.values()) == {"snap-0"}
+    after = file_digests(tmp_path / "t" / "snap-0")
+    assert {p: h for p, h in after.items() if "_bucket=3/" not in p} == {
+        p: h for p, h in before.items() if "_bucket=3/" not in p
+    }
+    # data identical across the migration
+    assert {r.id: r.v for r in cat.read_stage(spark, "t").collect()} == rows_before
+
+    # an upsert into the split region lands at modulus 16 and touches only
+    # its leaf bucket; an upsert elsewhere still lands at modulus 8
+    # (base bucket = xxhash64(id) % 8, so pick the probe via the same hash)
+    probe = (
+        spark.range(0, 2000)
+        .where(F.pmod(F.xxhash64("id"), F.lit(8)) == 3)
+        .first()["id"]
+    )
+    cat.upsert(spark, spark.createDataFrame([(probe, -5)], "id long, v long"), "t", "id")
+    snap2 = cat.current_snapshot("t")
+    newly = {k for k, s in snap2["buckets"].items() if s == "snap-2"}
+    assert len(newly) == 1 and next(iter(newly)).endswith("@16")
+    got = {r.id: r.v for r in cat.read_stage(spark, "t").collect()}
+    assert len(got) == 2000 and got[probe] == -5
+
+    # split is repeatable: the hot child can go deeper (16 -> 32)
+    cat.split_buckets(spark, "t", [3])
+    snap3 = cat.current_snapshot("t")
+    assert snap3["bucket_mods"] == {"3": 32}
+    assert {r.id: r.v for r in cat.read_stage(spark, "t").collect()} == got
+    # vacuum after the migrations keeps a consistent readable table
+    cat.vacuum("t")
+    assert {r.id: r.v for r in cat.read_stage(spark, "t").collect()} == got
+
+
+def test_write_stage_auto_buckets_and_sizes(spark, tmp_path):
+    """n_buckets='auto' sizes the layout from the batch (power of two,
+    floor 8); bucket_sizes reports per-bucket bytes for split decisions."""
+    from llacie_spark.io import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path))
+    df = spark.range(0, 5000).withColumn("v", F.col("id"))
+    cat.write_stage(df, "t", bucket_key="id", n_buckets="auto",
+                    target_rows_per_bucket=500)
+    snap = cat.current_snapshot("t")
+    assert snap["n_buckets"] == 16  # 5000/500 -> next pow2 = 16
+    sizes = cat.bucket_sizes("t")
+    assert len(sizes) == 16 and all(v > 0 for v in sizes.values())
+    assert cat.read_stage(spark, "t").count() == 5000
+
+
+def test_vacuum_grace_window_retains_recent_snapshots(spark, tmp_path):
+    """older_than_s retains recently-superseded dirs so in-flight lazy
+    readers don't lose their files (ADVICE r3 vacuum contract)."""
+    from llacie_spark.io import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write_stage(spark.range(0, 50).withColumn("v", F.lit("x")), "t",
+                    bucket_key="id", n_buckets=8)
+    one = spark.createDataFrame([(7, "y")], "id long, v string")
+    cat.upsert(spark, one, "t", "id")
+    reader = cat.read_stage(spark, "t")  # lazy: pinned to snap-0 + snap-1
+    cat.upsert(spark, one.withColumn("v", F.lit("z")), "t", "id")  # supersedes snap-1
+    assert cat.vacuum("t", older_than_s=3600) == []  # grace window holds
+    assert {r.id: r.v for r in reader.collect()}[7] == "y"  # reader still valid
+    assert cat.vacuum("t") == ["snap-1"]  # immediate vacuum reclaims it
 
 
 def test_unfinished_rejects_malformed_cutoff(spark, tmp_path):
