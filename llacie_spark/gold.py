@@ -29,6 +29,29 @@ def load_gold_csv(spark: SparkSession, path: str, annotator: str = "annotator1")
     )
 
 
+def load_gold_xlsx(
+    spark: SparkSession, path: str, annotator: str = "annotator1", sheet: str | None = None
+) -> DataFrame:
+    """Read the reference's annotation WORKBOOK directly (``llacie/db.py:
+    720-766`` imports the same sheet with read_excel) — stdlib zip+XML
+    reader, no openpyxl needed. Driver-side parse of a ~100-row artifact,
+    then a Spark DataFrame in the same shape as :func:`load_gold_csv`."""
+    from llacie_spark.xlsx import read_rows
+
+    rows = [
+        (
+            int(r["FK_episode_id"]),
+            None if r.get("human_labels") is None else str(r["human_labels"]),
+            annotator,
+        )
+        for r in read_rows(path, sheet=sheet)
+        if r.get("FK_episode_id") not in (None, "")
+    ]
+    return spark.createDataFrame(
+        rows, "episode_id long, human_labels string, annotator string"
+    )
+
+
 def explode_labels(gold_raw: DataFrame) -> DataFrame:
     """Pipe-delimited label cell -> one row per (episode, label, annotator)."""
     return (
@@ -56,4 +79,5 @@ def validate_against_vocab(labels: DataFrame, concepts: DataFrame) -> DataFrame:
 def import_gold(
     spark: SparkSession, path: str, concepts: DataFrame, annotator: str = "annotator1"
 ) -> DataFrame:
-    return validate_against_vocab(explode_labels(load_gold_csv(spark, path, annotator)), concepts)
+    loader = load_gold_xlsx if path.lower().endswith(".xlsx") else load_gold_csv
+    return validate_against_vocab(explode_labels(loader(spark, path, annotator)), concepts)

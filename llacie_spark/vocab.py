@@ -86,6 +86,21 @@ class Vocab:
         with open(path, newline="") as f:
             return cls.from_rows(list(csv.DictReader(f)))
 
+    @classmethod
+    def from_xlsx(cls, path: str, sheet: str | None = None) -> "Vocab":
+        """Load directly from the reference's workbook artifact
+        (``llacie/vocab.py:86-97`` reads the same sheet with read_excel) —
+        stdlib zip+XML reader, no openpyxl needed. Rows with an empty
+        ``ngram`` (padding/blank lines in the sheet) are dropped."""
+        from llacie_spark.xlsx import read_rows
+
+        rows = [
+            {k: ("" if v is None else str(v)) if k != "n" else v for k, v in r.items()}
+            for r in read_rows(path, sheet=sheet)
+            if r.get("ngram") not in (None, "") and r.get("n") not in (None, "")
+        ]
+        return cls.from_rows(rows)
+
     def to_rows(self) -> list[dict]:
         """Flatten back to (ngram, n, canonical_name, combo_symptom, emit_order)
         rows — the relational form used by the broadcast-join linking variant."""
