@@ -382,7 +382,7 @@ def _q_doc_enrich(spark, sf):
 
 def _q_kg_triples(spark, sf):
     """The clinical KG pipeline end-to-end on the bundled 100-note corpus
-    (not SQL-expressible — driver records a rows-only check)."""
+    (oracle: the committed golden triples fixture — full hash check)."""
     from llacie_spark.corpus import reference_doc_meta, reference_documents
     from llacie_spark.pipeline import run_pipeline
     from llacie_spark.vocab import Vocab
@@ -453,7 +453,8 @@ def _q_rollup_revenue(spark, sf):
 
 def _q_kg_relational(spark, sf):
     """KG pipeline with the relational (salted candidate-join) linker —
-    the huge-dictionary scale path (rows-only check)."""
+    the huge-dictionary scale path (oracle: golden triples, full hash
+    check — row-equal to the UDF linker by construction)."""
     from llacie_spark.corpus import assemble_text, reference_documents
     from llacie_spark.operators.linking import link_mentions_relational
     from llacie_spark.pipeline import extract_mentions, extract_sections
@@ -491,7 +492,8 @@ def _q_kg_linking(spark, sf):
 
 def _q_kg_canonical(spark, sf):
     """Triples with connected-components canonicalization applied
-    (north-rule stage 3; rows-only check)."""
+    (north-rule stage 3; oracle: independent recursive-CTE connected
+    components over the synonym edges — full hash check)."""
     from llacie_spark.operators.graph import canonical_map, canonicalize_triples
     from llacie_spark.schemas import CONCEPTS
     from llacie_spark.vocab import Vocab
@@ -511,7 +513,8 @@ def _q_kg_canonical(spark, sf):
 
 
 def _q_media_features(spark, sf):
-    """Multimodal plumbing: media spans -> decoded feature rows (rows-only)."""
+    """Multimodal plumbing: media spans -> decoded feature rows (oracle:
+    FakeDecoder arithmetic recomputed in SQL — full hash check)."""
     from llacie_spark.corpus import reference_documents
     from llacie_spark.operators.multimodal import extract_media_features, synthetic_media
 

@@ -428,6 +428,21 @@ Round-over-round: round 2 measured 10,603 docs/sec at local[32] on the same
 {r["detail"][32]["docs_per_sec"]} docs/sec — the gain is the measured
 argmin-form switch (ARGMIN_AB.md) plus scorer regex-path trims, under the
 same gold-gated extraction quality (P=0.9795/R=0.9862).
+
+## Which BENCH_rN numbers are protocol-comparable
+
+- **BENCH_r01**: single timed pass, no steal accounting — NOT comparable to
+  anything later (r02's apparent regressions were host noise).
+- **BENCH_r02**: best-of-3 per query but no steal gate and no quiet wait —
+  the KG number happened to be clean; operator rows unverifiable.
+- **BENCH_r03**: steal-gated best-of-3, but the suite ran inside a noise
+  epoch: only rows with `steal_gated: true` (6 of 17 + kg_pipeline) are
+  trustworthy; the rest are best-of-noisy.
+- **BENCH_r04 onward**: quiet-wait before the suite + per-query bounded
+  re-measure when a whole batch exceeds the gate (`retry_batches` recorded)
+  — rows are comparable to each other and to r03's `steal_gated: true` rows.
+- Scaling tables (this file) have been quiet-gated per level since r03 and
+  re-measure implausible speedups; r03+ scaling numbers are comparable.
 """
     )
 

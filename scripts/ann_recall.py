@@ -101,7 +101,11 @@ def measure(spark, queries, corpus, dim, regime):
     return out
 
 
-IVF_SETTINGS = [(32, 2), (32, 4), (32, 8), (32, 16)]
+# (n_centroids, n_probe): the 32-centroid column is the r3 baseline; the
+# 128-centroid rows measure the deployable knob — scale the centroid count
+# with the corpus (the sqrt(N) rule) and keep probe moderate, comparing
+# recall at MATCHED scan fractions (32/2 vs 128/8 both scan ~6%, etc.)
+IVF_SETTINGS = [(32, 2), (32, 4), (32, 8), (32, 16), (128, 8), (128, 16), (128, 32)]
 
 
 def measure_ivf(spark, queries, corpus, dim, regime):
@@ -135,20 +139,24 @@ def main():
     spark = get_spark(app_name="ann-recall", master="local[8]", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
 
-    planted, pq_queries = planted_corpus(spark)
-    near = measure(spark, pq_queries, planted, dim=64, regime="near-dup")
+    ivf_only = "--ivf-only" in sys.argv
+    if not ivf_only:
+        planted, pq_queries = planted_corpus(spark)
+        near = measure(spark, pq_queries, planted, dim=64, regime="near-dup")
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     dim = len(emb.select("embedding").first()[0])
     queries = emb.orderBy("vec_id").limit(N_QUERIES)
-    mid = measure(spark, queries, emb, dim=dim, regime="mid-cos")
+    if not ivf_only:
+        mid = measure(spark, queries, emb, dim=dim, regime="mid-cos")
     mid_ivf = measure_ivf(spark, queries, emb, dim=dim, regime="mid-cos")
 
-    print("\n| regime | n_planes | n_tables | recall@10 | corpus scanned/query |")
-    print("|---|---|---|---|---|")
-    for regime, rows in (("near-dup (planted, cos>=0.95)", near), ("mid-cosine (sf0.01)", mid)):
-        for p, t, r, f in rows:
-            print(f"| {regime} | {p} | {t} | {r:.3f} | {f:.2%} |")
+    if not ivf_only:
+        print("\n| regime | n_planes | n_tables | recall@10 | corpus scanned/query |")
+        print("|---|---|---|---|---|")
+        for regime, rows in (("near-dup (planted, cos>=0.95)", near), ("mid-cosine (sf0.01)", mid)):
+            for p, t, r, f in rows:
+                print(f"| {regime} | {p} | {t} | {r:.3f} | {f:.2%} |")
     print("\n| regime | n_centroids | n_probe | recall@10 | corpus scanned/query |")
     print("|---|---|---|---|---|")
     for c, p, r, f in mid_ivf:
