@@ -357,6 +357,28 @@ def _q_knn_bruteforce(spark, sf):
     )
 
 
+def _q_ivf_fullprobe(spark, sf):
+    """IVF index at full probe (n_probe == n_centroids): every cell is
+    probed, so the index must return EXACTLY the brute-force top-k — the
+    oracle is the same exact-kNN SQL as ``knn_bruteforce``, making the whole
+    IVF plan (driver-sample k-means training, distributed vectorized-UDF
+    assignment, probe-cell equi-join, exact-cosine re-rank, rank window)
+    hash-verified end-to-end. Recall at partial probe is measured separately
+    (COVERAGE.md recall table; scripts/ann_recall.py)."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where("vec_id < 10")
+    out = similarity.ivf_topk(
+        queries, emb, k=10, n_centroids=16, n_probe=16,
+        dim=len(emb.select("embedding").first()[0]),
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cos", 4).alias("cos"),
+    )
+
+
 def _q_embed_stats(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return (
@@ -620,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "simhash_pairs": _q_simhash_pairs,
         "knn_bruteforce": _q_knn_bruteforce,
+        "ivf_fullprobe": _q_ivf_fullprobe,
         "embed_stats": _q_embed_stats,
         "doc_enrich": _q_doc_enrich,
         "kg_triples": _q_kg_triples,
@@ -1143,6 +1166,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_sql(),
         "minhash_dedup": _jaccard_sql(None),  # LSH+verify must equal exact at this scale
         "knn_bruteforce": _knn_sql(),
+        # full probe == exact: the brute-force SQL IS the IVF oracle
+        "ivf_fullprobe": _knn_sql(),
         "embed_stats": """
             select cast(label as bigint) as label, cast(count(*) as bigint) as n,
                    round(avg(sqrt(list_dot_product(embedding, embedding))), 4) as avg_norm

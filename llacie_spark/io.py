@@ -524,6 +524,34 @@ class SnapshotCatalog:
         )
         return self.current_snapshot(name)
 
+    def maybe_split(
+        self,
+        spark: SparkSession,
+        name: str,
+        target_bucket_bytes: int = 256 << 20,
+        factor: int = 2,
+    ) -> list[int]:
+        """The split-decision loop: find base buckets whose on-disk leaf
+        total exceeds ``2 * target_bucket_bytes`` and split them ``factor``-
+        fold. Returns the base bucket ids split (empty = layout healthy).
+        Run after large upserts — the same maintenance slot as vacuum.
+        The 2x hysteresis keeps a bucket from oscillating around the target
+        (post-split halves sit at ~target, comfortably below the trigger)."""
+        cur = self.current_snapshot(name)
+        if not cur or not cur.get("bucket_key"):
+            return []
+        base = cur["n_buckets"]
+        per_base: dict[int, int] = {}
+        for entry, size in self.bucket_sizes(name).items():
+            b, _m = self._entry_bucket_mod(entry, base)
+            per_base[b % base] = per_base.get(b % base, 0) + size
+        oversized = sorted(
+            b for b, sz in per_base.items() if sz > 2 * target_bucket_bytes
+        )
+        if oversized:
+            self.split_buckets(spark, name, oversized, factor=factor)
+        return oversized
+
     def bucket_sizes(self, name: str) -> dict[str, int]:
         """Bytes on disk per manifest bucket entry — the split-decision
         input (split every bucket over ~2× the target size). Driver-side

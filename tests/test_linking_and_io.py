@@ -314,6 +314,27 @@ def test_split_buckets_rewrites_only_split_bucket(spark, tmp_path):
     assert {r.id: r.v for r in cat.read_stage(spark, "t").collect()} == got
 
 
+def test_maybe_split_splits_only_oversized_buckets(spark, tmp_path):
+    """The maintenance loop: buckets past 2x the byte target split, healthy
+    ones stay; data survives and the split is recorded per base bucket."""
+    from llacie_spark.io import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write_stage(
+        spark.range(0, 4000).withColumn("v", F.col("id")), "t",
+        bucket_key="id", n_buckets=8,
+    )
+    sizes = cat.bucket_sizes("t")
+    # pick a target so that every bucket is oversized -> all 8 split
+    tiny_target = min(sizes.values()) // 4
+    split = cat.maybe_split(spark, "t", target_bucket_bytes=tiny_target)
+    assert split == list(range(8))
+    assert cat.current_snapshot("t")["bucket_mods"] == {str(b): 16 for b in range(8)}
+    assert cat.read_stage(spark, "t").count() == 4000
+    # with a huge target nothing is oversized -> no-op
+    assert cat.maybe_split(spark, "t", target_bucket_bytes=1 << 40) == []
+
+
 def test_write_stage_auto_buckets_and_sizes(spark, tmp_path):
     """n_buckets='auto' sizes the layout from the batch (power of two,
     floor 8); bucket_sizes reports per-bucket bytes for split decisions."""
