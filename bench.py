@@ -424,10 +424,13 @@ deterministic path does the same per-note work distributed across all cores
 with no driver loop, at thousands of docs/sec on one node.
 
 Round-over-round: round 2 measured 10,603 docs/sec at local[32] on the same
-480k-doc job (min_by argmin form); this table's 32-core best is
-{r["detail"][32]["docs_per_sec"]} docs/sec — the gain is the measured
-argmin-form switch (ARGMIN_AB.md) plus scorer regex-path trims, under the
-same gold-gated extraction quality (P=0.9795/R=0.9862).
+480k-doc job (min_by argmin form); round 3 measured 13,460 (window_fat form
++ scorer regex trims); this table's 32-core best is
+{r["detail"][32]["docs_per_sec"]} docs/sec, same code as round 3 — compare
+against the live register probe above before reading any delta as a code
+change (the host's absolute speed drifts a few percent between sessions;
+all levels move together when it does). Extraction quality is gold-gated
+(P=0.9795/R=0.9862) in every round.
 
 ## Which BENCH_rN numbers are protocol-comparable
 
