@@ -379,6 +379,30 @@ def _q_ivf_fullprobe(spark, sf):
     )
 
 
+def _q_embed_neardup(spark, sf):
+    """Embedding near-duplicate pairs through the LSH-bucketed self-join.
+
+    The sf embeddings are quasi-random (no real near-dups), so the query
+    PLANTS them deterministically: each vec_id < 50 gets a clone at
+    vec_id+100000 (identical vector => cosine exactly 1.0 => identical
+    hyperplane signs => same LSH bucket, so the banded path finds every
+    planted pair by construction, making a brute-force SQL oracle exact).
+    Verifies bucketing, the per-bucket self-join, and the cosine threshold
+    end-to-end with a hash check."""
+    emb = _t(spark, sf, "embeddings")
+    clones = emb.where("vec_id < 50").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(clones)
+    dim = len(emb.select("embedding").first()[0])
+    out = similarity.embedding_cosine_pairs(corpus, threshold=0.9999, dim=dim)
+    return out.select(
+        F.col("vec_a").cast("long").alias("vec_a"),
+        F.col("vec_b").cast("long").alias("vec_b"),
+        F.round("cos", 4).alias("cos"),
+    )
+
+
 def _q_embed_stats(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return (
@@ -643,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "knn_bruteforce": _q_knn_bruteforce,
         "ivf_fullprobe": _q_ivf_fullprobe,
+        "embed_neardup": _q_embed_neardup,
         "embed_stats": _q_embed_stats,
         "doc_enrich": _q_doc_enrich,
         "kg_triples": _q_kg_triples,
@@ -1168,6 +1193,24 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": _knn_sql(),
         # full probe == exact: the brute-force SQL IS the IVF oracle
         "ivf_fullprobe": _knn_sql(),
+        # brute force over the planted corpus: every pair above the
+        # threshold, no LSH anywhere — if Spark's bucketed join missed or
+        # invented a pair the hash check fails
+        "embed_neardup": """
+with corpus as (
+  select vec_id, embedding from embeddings
+  union all
+  select vec_id + 100000 as vec_id, embedding from embeddings where vec_id < 50)
+select cast(a.vec_id as bigint) as vec_a, cast(b.vec_id as bigint) as vec_b,
+       round(list_dot_product(a.embedding, b.embedding) /
+             (sqrt(list_dot_product(a.embedding, a.embedding)) *
+              sqrt(list_dot_product(b.embedding, b.embedding))), 4) as cos
+from corpus a, corpus b
+where a.vec_id < b.vec_id
+  and list_dot_product(a.embedding, b.embedding) /
+      (sqrt(list_dot_product(a.embedding, a.embedding)) *
+       sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.9999
+        """,
         "embed_stats": """
             select cast(label as bigint) as label, cast(count(*) as bigint) as n,
                    round(avg(sqrt(list_dot_product(embedding, embedding))), 4) as avg_norm

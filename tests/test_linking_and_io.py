@@ -314,6 +314,56 @@ def test_split_buckets_rewrites_only_split_bucket(spark, tmp_path):
     assert {r.id: r.v for r in cat.read_stage(spark, "t").collect()} == got
 
 
+def test_upsert_reads_and_upgrades_legacy_manifest(spark, tmp_path):
+    """Tables committed before the split feature used `snap/_bucket=b`
+    paths, bare "b" manifest keys, and names-only columns. The new code
+    must read them transparently, upsert incrementally against them, and
+    upgrade touched entries to the "b@m" form — untouched legacy files
+    byte-identical."""
+    import hashlib
+    import json as _json
+    import shutil
+
+    from llacie_spark.io import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write_stage(spark.range(0, 400).withColumn("v", F.col("id") * 2), "t",
+                    bucket_key="id", n_buckets=8)
+    # rewrite the committed snapshot into the legacy layout
+    t = tmp_path / "t"
+    snap0 = t / "snap-0"
+    for bdir in list(snap0.glob("_mod=8/_bucket=*")):
+        shutil.move(str(bdir), str(snap0 / bdir.name))
+    (snap0 / "_mod=8").rmdir()
+    m = _json.loads((t / "_SNAPSHOT.json").read_text())
+    m["buckets"] = {k.split("@")[0]: v for k, v in m["buckets"].items()}
+    m["columns"] = [c for c, _ in m["columns"]]  # names-only, r3 style
+    del m["bucket_mods"]
+    (t / "_SNAPSHOT.json").write_text(_json.dumps(m))
+
+    assert cat.read_stage(spark, "t").count() == 400  # legacy paths resolve
+
+    def digests():
+        return {
+            str(p.relative_to(t)): hashlib.md5(p.read_bytes()).hexdigest()
+            for p in snap0.rglob("*.parquet")
+        }
+
+    before = digests()
+    cat.upsert(spark, spark.createDataFrame([(7, -1)], "id long, v long"), "t", "id")
+    snap = cat.current_snapshot("t")
+    moved = {k for k, s in snap["buckets"].items() if s == "snap-1"}
+    assert len(moved) == 1 and "@8" in next(iter(moved))  # upgraded key form
+    legacy_left = {k for k in snap["buckets"] if "@" not in k}
+    assert len(legacy_left) == 7  # untouched entries stay legacy
+    assert digests() == before  # legacy files never rewritten
+    got = {r.id: r.v for r in cat.read_stage(spark, "t").collect()}
+    assert len(got) == 400 and got[7] == -1 and got[8] == 16
+    # a split over the legacy table also works (touches one base bucket)
+    cat.split_buckets(spark, "t", [0])
+    assert cat.read_stage(spark, "t").count() == 400
+
+
 def test_maybe_split_splits_only_oversized_buckets(spark, tmp_path):
     """The maintenance loop: buckets past 2x the byte target split, healthy
     ones stay; data survives and the split is recorded per base bucket."""
