@@ -35,6 +35,14 @@ def main(argv: list[str]) -> None:
         "SnapshotCatalog.split_buckets without a full rewrite",
     )
     p.add_argument(
+        "--stage-maintenance", action="store_true",
+        help="after the stage upsert, split buckets grown past 2x "
+        "--stage-split-target-mb and vacuum snapshots unreferenced for "
+        ">10 min — the per-run layout upkeep an Iceberg table service "
+        "would do",
+    )
+    p.add_argument("--stage-split-target-mb", type=int, default=256)
+    p.add_argument(
         "--scorer", default="feature.presenting_sx.gazetteer",
         help="registered scorer strategy name (scorer.find_scorers('*'))",
     )
@@ -98,6 +106,17 @@ def main(argv: list[str]) -> None:
                 "doc_id",
                 n_buckets=stage_buckets,
             )
+        if args.stage_maintenance:
+            split = cat.maybe_split(
+                spark, "extracted",
+                target_bucket_bytes=args.stage_split_target_mb << 20,
+            )
+            expired = cat.vacuum("extracted", older_than_s=600)
+            if split or expired:
+                print(
+                    f"maintenance: split buckets {split}, expired {expired}",
+                    file=sys.stderr,
+                )
         triples = episode_triples(
             cat.read_stage(spark, "extracted"), meta,
             argmin_strategy=args.argmin_strategy,
