@@ -139,8 +139,10 @@ def write_rows(path: str, rows: list[dict], sheet: str = "Sheet1", columns: list
     cols = columns or (list(rows[0].keys()) if rows else [])
 
     def esc(s: str) -> str:
+        # quote escaping matters for the sheet-name attribute
         return (
             s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            .replace('"', "&quot;")
         )
 
     def cell_xml(ref: str, v) -> str:

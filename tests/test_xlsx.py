@@ -51,6 +51,62 @@ def test_roundtrip_types_and_sparse_cells(tmp_path):
     assert isinstance(got[0]["a"], int) and isinstance(got[0]["c"], float)
 
 
+def test_roundtrip_property(tmp_path):
+    """Property: any table of None/bool/int/float/str cells round-trips
+    through write_rows -> read_rows exactly (floats restricted to exact
+    binary fractions so repr/parse is lossless either way)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from llacie_spark.xlsx import read_rows, write_rows
+
+    cell = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**53), max_value=2**53),
+        st.integers(min_value=-(2**40), max_value=2**40).map(lambda n: n / 1024),
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs", "Cc")
+            ),
+            max_size=40,
+        ),
+    )
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        cols=st.lists(
+            st.text(st.characters(codec="utf-8", exclude_categories=("Cs", "Cc")),
+                    min_size=1, max_size=10),
+            min_size=1, max_size=6, unique=True,
+        ),
+        data=st.data(),
+    )
+    def check(cols, data):
+        rows = data.draw(
+            st.lists(
+                st.fixed_dictionaries({c: cell for c in cols}),
+                min_size=0, max_size=8,
+            )
+        )
+        # a float that is integral reads back as int; normalize expectation
+        def norm(v):
+            if isinstance(v, float) and v.is_integer():
+                return int(v)
+            return v
+
+        p = str(tmp_path / "prop.xlsx")
+        write_rows(p, rows, columns=cols)
+        got = read_rows(p)
+        want = [{c: norm(r[c]) for c in cols} for r in rows]
+        # trailing all-None rows are dropped by contract
+        while want and all(v is None for v in want[-1].values()):
+            want.pop()
+        assert got == want
+
+    check()
+
+
 def test_read_rows_unknown_sheet_raises(tmp_path):
     from llacie_spark.xlsx import read_rows, write_rows
 
