@@ -487,7 +487,9 @@ class SnapshotCatalog:
         for b in base_ids:
             m = bucket_mods.get(b, base)
             new_mods[b] = m * factor
-            # leaf buckets under base bucket b at modulus m
+            # leaf buckets under base bucket b at modulus m; a leaf may be
+            # recorded under either key form — read the FIRST match only
+            # (reading both would duplicate rows into the children)
             for c in range(b, m, base):
                 for entry in (self._entry_for(c, m), str(c) if m == base else None):
                     if entry is not None and entry in cur["buckets"]:
@@ -495,6 +497,7 @@ class SnapshotCatalog:
                         old_paths.append(
                             str(self._entry_path(name, cur["buckets"][entry], entry))
                         )
+                        break
         snap_id = cur["snapshot"] + 1
         written: list[tuple[int, int]] = []
         if old_paths:
