@@ -481,6 +481,30 @@ def run_upsert_scaling(
     spark = _make_spark(8, "upsert-scaling", prewarm=False)
     wait_quiet(verbose=True)
     results: list[dict] = []
+
+    def measure_upsert(cat, tmp, batch):
+        """Warm once, then steal-gated best-of-3 of the same-keys upsert
+        (delete-then-insert => identical merge work every run); report wall
+        + bytes the last run rewrote (its snapshot dir)."""
+        cat.upsert(spark, batch, "t", "id")
+        r = _timed_best(lambda: cat.upsert(spark, batch, "t", "id"))
+        after = cat.current_snapshot("t")
+        last_snap = Path(tmp) / "t" / f"snap-{after['snapshot']}"
+        rewritten = sum(f.stat().st_size for f in last_snap.rglob("*.parquet"))
+        return r, rewritten
+
+    def batch_for(n_buckets):
+        """batch_rows keys that hash into base bucket 0."""
+        in_bucket = F.pmod(F.xxhash64("id"), F.lit(n_buckets)) == 0
+        return (
+            spark.range(0, 4 * n_buckets * batch_rows)
+            .where(in_bucket)
+            .limit(batch_rows)
+            .withColumn("v", F.lit(-1).cast("long"))
+            .withColumn("pad", F.sha2(F.col("id").cast("string"), 256))
+            .persist()
+        )
+
     for n in table_rows:
         for layout in ("auto", "fixed8"):
             tmp = tempfile.mkdtemp(prefix="upsert-bench-")
@@ -497,31 +521,9 @@ def run_upsert_scaling(
                 snap = cat.current_snapshot("t")
                 n_buckets = snap["n_buckets"]
                 table_bytes = sum(cat.bucket_sizes("t").values())
-                # batch: keys hashing into bucket 0 (plus fresh keys beyond
-                # the table range that also hash there)
-                in_bucket = F.pmod(F.xxhash64("id"), F.lit(n_buckets)) == 0
-                batch = (
-                    spark.range(0, 4 * n_buckets * batch_rows)
-                    .where(in_bucket)
-                    .limit(batch_rows)
-                    .withColumn("v", F.lit(-1).cast("long"))
-                    .withColumn("pad", F.sha2(F.col("id").cast("string"), 256))
-                    .persist()
-                )
+                batch = batch_for(n_buckets)
                 got = batch.count()
-                # warm once (bucket conversion of page cache, worker reuse),
-                # then steal-gated best-of-3; each run re-upserts the same
-                # keys => identical merge work every time
-                cat.upsert(spark, batch, "t", "id")
-                before = cat.current_snapshot("t")["snapshot"]
-                r = _timed_best(lambda: cat.upsert(spark, batch, "t", "id"))
-                after = cat.current_snapshot("t")
-                # bytes the LAST upsert rewrote: files in its new snapshot dir
-                last_snap = Path(tmp) / "t" / f"snap-{after['snapshot']}"
-                rewritten = sum(
-                    f.stat().st_size for f in last_snap.rglob("*.parquet")
-                )
-                batch.unpersist()
+                r, rewritten = measure_upsert(cat, tmp, batch)
                 results.append(
                     {
                         "layout": layout,
@@ -535,9 +537,44 @@ def run_upsert_scaling(
                         "runs": r["runs"],
                         "steal_pct": r["steal_pct"],
                         "steal_gated": r["steal_gated"],
-                        "snapshots_committed": after["snapshot"] - before,
                     }
                 )
+                # split-recovery phase: on the LARGEST fixed8 table, split
+                # the hot bucket twice and re-measure — the migration must
+                # restore the O(batch) cost class without a full rewrite.
+                # The batch here is concentrated at the FINEST modulus
+                # (hash%32==0 => bucket 0 at mod 8, child 0@16, child 0@32),
+                # mirroring a hot key range: pre-split it rewrites the whole
+                # ~table/8 bucket, each split then halves the rewrite.
+                if layout == "fixed8" and n == max(table_rows):
+                    split_batch = batch_for(n_buckets * 4)
+                    split_batch.count()
+                    for splits in (1, 2):
+                        t0 = time.time()
+                        cat.split_buckets(spark, "t", [0])
+                        split_s = round(time.time() - t0, 3)
+                        r, rewritten = measure_upsert(cat, tmp, split_batch)
+                        mod = cat.current_snapshot("t")["bucket_mods"]["0"]
+                        results.append(
+                            {
+                                "layout": f"fixed8+split(x{splits}, mod {mod})",
+                                "table_rows": n,
+                                "n_buckets": n_buckets,
+                                "batch_rows": got,
+                                "table_bytes": sum(cat.bucket_sizes("t").values()),
+                                "rewritten_bytes": rewritten,
+                                "rewritten_frac": round(
+                                    rewritten / max(table_bytes, 1), 4
+                                ),
+                                "upsert_s": r["best"],
+                                "runs": r["runs"],
+                                "steal_pct": r["steal_pct"],
+                                "steal_gated": r["steal_gated"],
+                                "split_migration_s": split_s,
+                            }
+                        )
+                    split_batch.unpersist()
+                batch.unpersist()
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
@@ -550,6 +587,10 @@ def run_upsert_scaling(
 def _write_upsert_md(r: dict) -> None:
     out = REPO / "BENCH"
     out.mkdir(exist_ok=True)
+    migrations = [
+        f"{x['split_migration_s']} s" for x in r["rows"] if "split_migration_s" in x
+    ]
+    split_note = f" (migrations took {', '.join(migrations)})" if migrations else ""
     lines = "\n".join(
         f"| {x['layout']} | {x['table_rows']:,} | {x['n_buckets']} "
         f"| {x['table_bytes']/1e6:.1f} MB | {x['rewritten_bytes']/1e6:.2f} MB "
@@ -577,6 +618,13 @@ i.e. O(table) growth — the degradation `SnapshotCatalog.split_buckets`
 and auto sizing exist to avoid. Wall times at these sandbox sizes include
 fixed Spark job overhead (~0.5 s), which dominates the smallest tables;
 the rewritten-bytes column is the scale-relevant signal.
+
+The `fixed8+split` rows measure RECOVERY on the mis-sized 1M-row table: a
+hot-key batch (keys under one leaf at the finest modulus) first rewrites
+the whole ~1/8 bucket; each `split_buckets([0])` migration — which itself
+rewrites only bucket 0's files{split_note} — halves the subsequent upsert's
+rewrite. The layout converges toward the auto-sized cost without ever
+rewriting the table.
 """
     )
 
