@@ -665,11 +665,79 @@ def get_scorer(name: str, **config):
     return factory(**config)
 
 
+class CachingScorer:
+    """Memoize ``score_batch`` per distinct input text — the Spark-side
+    analog of the reference's content-keyed response cache
+    (``/root/reference/llacie/cache/sqlite.py``: LLM outputs are stored by
+    note hash so repeated content is scored once per corpus).
+
+    Worker-local bounded LRU, so each executor pays one scoring per distinct
+    text it sees; within a batch, duplicate texts are scored once. Correct
+    ONLY for deterministic scorers (the gazetteer is a pure function of the
+    text; wrap an LLM scorer only with sampling off — the same caveat the
+    reference cache carries). Cached lists are returned by reference and
+    must be treated as read-only, which the Arrow serialization boundary in
+    the pipeline UDF guarantees.
+
+    Honest-benchmark note: cache effectiveness is a CORPUS property. The
+    synthetic bench corpus has ~0.5% distinct sections (100 templates), so
+    a cached run measures dictionary lookups, not extraction — which is why
+    the headline bench stays uncached and any cached number must disclose
+    the corpus' duplicate ratio alongside it.
+    """
+
+    def __init__(self, inner, max_entries: int = 65_536):
+        from collections import OrderedDict
+
+        self.inner = inner
+        self.name = f"cached:{getattr(inner, 'name', type(inner).__name__)}"
+        self.version = getattr(inner, "version", "0")
+        self._cache: "OrderedDict[str, list[str]]" = OrderedDict()
+        self._max = max_entries
+        self.hits = 0
+        self.misses = 0
+
+    def score_batch(self, texts: Sequence[str | None]) -> list[list[str]]:
+        out: list = [None] * len(texts)
+        pending: dict[str, list[int]] = {}
+        for i, t in enumerate(texts):
+            if not t:
+                out[i] = []
+                continue
+            hit = self._cache.get(t)
+            if hit is not None:
+                self._cache.move_to_end(t)
+                self.hits += 1
+                out[i] = hit
+            else:
+                pending.setdefault(t, []).append(i)
+        if pending:
+            keys = list(pending)
+            scored = self.inner.score_batch(keys)
+            for k, v in zip(keys, scored):
+                self.misses += 1
+                self._cache[k] = v
+                if len(self._cache) > self._max:
+                    self._cache.popitem(last=False)
+                for i in pending[k]:
+                    out[i] = v
+        return out
+
+
 @register_scorer("feature.presenting_sx.gazetteer")
 def _gazetteer_factory(vocab=None, **_):
     if vocab is None:
         raise ValueError("gazetteer scorer needs vocab=Vocab(...)")
     return GazetteerScorer(canonicalize=vocab.find_terms)
+
+
+@register_scorer("feature.presenting_sx.gazetteer.cached")
+def _gazetteer_cached_factory(vocab=None, max_entries: int = 65_536, **_):
+    if vocab is None:
+        raise ValueError("gazetteer scorer needs vocab=Vocab(...)")
+    return CachingScorer(
+        GazetteerScorer(canonicalize=vocab.find_terms), max_entries=max_entries
+    )
 
 
 @register_scorer("feature.presenting_sx.llm")

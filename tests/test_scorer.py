@@ -101,3 +101,57 @@ def test_trim_to_token_budget():
     assert trim_to_token_budget(text, 7) == "One two three"  # two cut rounds
     # pathological: one giant sentence falls back to a hard word cut
     assert trim_to_token_budget("w " * 50, 5).count("w") == 5
+
+
+def test_caching_scorer_identical_and_dedups_inner_calls(vocab):
+    """CachingScorer must be output-identical to its inner scorer and call
+    it exactly once per distinct text (within and across batches) — the
+    reference's content-keyed response cache contract."""
+    from llacie_spark.scorer import CachingScorer
+
+    class Counting:
+        name = "counting"
+        version = "1"
+
+        def __init__(self, vocab):
+            self.inner = GazetteerScorer(canonicalize=vocab.find_terms)
+            self.calls = 0
+
+        def score_batch(self, texts):
+            self.calls += len(texts)
+            return self.inner.score_batch(texts)
+
+    counting = Counting(vocab)
+    cached = CachingScorer(counting)
+    plain = GazetteerScorer(canonicalize=vocab.find_terms)
+    texts = [
+        "Presents with fever and chills.",
+        None,
+        "Presents with fever and chills.",
+        "Denies cough but reports dyspnea.",
+        "",
+    ]
+    assert cached.score_batch(texts) == plain.score_batch(texts)
+    assert counting.calls == 2  # two distinct non-empty texts
+    # second batch with the same texts: zero new inner calls
+    assert cached.score_batch(texts) == plain.score_batch(texts)
+    assert counting.calls == 2
+    assert cached.hits == 3 and cached.misses == 2
+
+
+def test_caching_scorer_lru_bound(vocab):
+    from llacie_spark.scorer import CachingScorer
+
+    cached = CachingScorer(GazetteerScorer(canonicalize=vocab.find_terms),
+                           max_entries=3)
+    for i in range(10):
+        cached.score_batch([f"reports fever number {i}."])
+    assert len(cached._cache) == 3
+
+
+def test_cached_gazetteer_registered(vocab):
+    from llacie_spark.scorer import find_scorers, get_scorer
+
+    assert "feature.presenting_sx.gazetteer.cached" in find_scorers("*gazetteer*")
+    s = get_scorer("feature.presenting_sx.gazetteer.cached", vocab=vocab)
+    assert s.score_batch(["complains of nausea."]) == [["nausea"]]
