@@ -364,6 +364,37 @@ def test_upsert_reads_and_upgrades_legacy_manifest(spark, tmp_path):
     assert cat.read_stage(spark, "t").count() == 400
 
 
+def test_split_crash_before_publish_leaves_old_layout(spark, tmp_path):
+    """A crash after the split wrote its new bucket files but before the
+    manifest publish must leave the pre-split layout committed and a retry
+    must succeed cleanly (same snapshot id, overwrite)."""
+    import pytest
+
+    from llacie_spark.io import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write_stage(spark.range(0, 500).withColumn("v", F.col("id")), "t",
+                    bucket_key="id", n_buckets=8)
+    rows = {r.id: r.v for r in cat.read_stage(spark, "t").collect()}
+
+    real_publish = cat._publish
+    cat._publish = lambda *a, **k: (_ for _ in ()).throw(OSError("disk gone"))
+    with pytest.raises(OSError):
+        cat.split_buckets(spark, "t", [2])
+    cat._publish = real_publish
+
+    snap = cat.current_snapshot("t")
+    assert snap["snapshot"] == 0 and not snap.get("bucket_mods")  # old layout
+    assert {r.id: r.v for r in cat.read_stage(spark, "t").collect()} == rows
+    # retry succeeds; orphan files from the torn attempt are overwritten
+    cat.split_buckets(spark, "t", [2])
+    assert cat.current_snapshot("t")["bucket_mods"] == {"2": 16}
+    assert {r.id: r.v for r in cat.read_stage(spark, "t").collect()} == rows
+    # vacuum never touches the now-live snap-1
+    cat.vacuum("t")
+    assert {r.id: r.v for r in cat.read_stage(spark, "t").collect()} == rows
+
+
 def test_maybe_split_splits_only_oversized_buckets(spark, tmp_path):
     """The maintenance loop: buckets past 2x the byte target split, healthy
     ones stay; data survives and the split is recorded per base bucket."""

@@ -142,3 +142,32 @@ def test_stream_upsert_idempotent_sink(spark, vocab, tmp_path):
     stream_upsert(extracted, cat, "extracted", "doc_id", chk)
     assert cat.read_stage(spark, "extracted").count() == docs.count()
     assert cat.current_snapshot("extracted")["snapshot"] == snap_before
+
+
+def test_stream_upsert_across_bucket_split(spark, vocab, tmp_path):
+    """The streaming sink and the layout migration compose: a split between
+    two drains must leave subsequent foreachBatch upserts incremental and
+    the merged table exact (no dupes, no loss)."""
+    from llacie_spark.corpus import reference_documents
+    from llacie_spark.io import SnapshotCatalog
+    from llacie_spark.streaming import stream_documents, stream_extracted, stream_upsert
+
+    src = tmp_path / "in"
+    chk = str(tmp_path / "chk")
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    docs = reference_documents(spark).cache()
+
+    docs.where("doc_id <= 'doc-000050'").write.mode("append").parquet(str(src))
+    extracted = stream_extracted(stream_documents(spark, str(src)), vocab)
+    stream_upsert(extracted, cat, "extracted", "doc_id", chk)
+    assert cat.read_stage(spark, "extracted").count() == 50
+
+    cat.split_buckets(spark, "extracted", [0, 1])  # migrate mid-stream
+
+    docs.where("doc_id > 'doc-000050'").write.mode("append").parquet(str(src))
+    stream_upsert(extracted, cat, "extracted", "doc_id", chk)
+    out = cat.read_stage(spark, "extracted")
+    assert out.count() == docs.count()
+    assert out.groupBy("doc_id").count().where("count > 1").count() == 0
+    snap = cat.current_snapshot("extracted")
+    assert snap["bucket_mods"] == {"0": 64, "1": 64}  # split layout persisted
