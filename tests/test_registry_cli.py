@@ -20,6 +20,7 @@ def test_registry_resolves_and_globs(vocab):
 
     assert find_scorers("feature.presenting_sx.*") == [
         "feature.presenting_sx.gazetteer",
+        "feature.presenting_sx.gazetteer.cached",
         "feature.presenting_sx.llm",
         "feature.presenting_sx.subprocess",
     ]
