@@ -201,12 +201,15 @@ KG_ARGMIN_STRATEGY = "window_fat"
 
 def _run_kg(spark, n_docs: int) -> int:
     from llacie_spark.corpus import synthetic_doc_meta, synthetic_documents
-    from llacie_spark.pipeline import run_pipeline
+    from llacie_spark.pipeline import docs_partitions, run_pipeline
     from llacie_spark.vocab import Vocab
 
     vocab = Vocab.from_csv(str(REPO / "fixtures/vocab_pres_sx_v2.csv"))
-    # ~8 tasks per core: smooths stragglers without per-task overhead bite
-    parts = 8 * spark.sparkContext.defaultParallelism
+    # volume-aware task sizing (measured crossover — see docs_partitions):
+    # ~1000 docs/task, clamped to [2x, 8x] cores. The old fixed 8x/core
+    # gave 156-doc tasks at 40k docs, paying ~35% wall in per-task Arrow
+    # overhead (r4 A/B: 6.0 -> 4.4 s).
+    parts = docs_partitions(n_docs, spark.sparkContext.defaultParallelism)
     docs = synthetic_documents(spark, n_docs, partitions=parts)
     meta = synthetic_doc_meta(spark, n_docs)
     triples = run_pipeline(docs, meta, vocab, argmin_strategy=KG_ARGMIN_STRATEGY)
@@ -444,6 +447,12 @@ all levels move together when it does). Extraction quality is gold-gated
 - **BENCH_r04 onward**: quiet-wait before the suite + per-query bounded
   re-measure when a whole batch exceeds the gate (`retry_batches` recorded)
   — rows are comparable to each other and to r03's `steal_gated: true` rows.
+  One deliberate protocol change in r04: the headline `kg_pipeline` row uses
+  volume-aware partitioning (`docs_partitions`, ~1000 docs/task) instead of
+  fixed 8 tasks/core — a measured plan improvement worth ~25-35% at 40k
+  docs (156-doc tasks were paying per-task Arrow overhead), NOT noise. The
+  480k scaling rows are unaffected: the rule resolves to the same partition
+  counts there.
 - Scaling tables (this file) have been quiet-gated per level since r03 and
   re-measure implausible speedups; r03+ scaling numbers are comparable.
 """

@@ -83,7 +83,10 @@ def main(argv: list[str]) -> None:
         docs = reference_documents(spark, args.corpus)
         meta = reference_doc_meta(spark, docs.count())
     else:
-        docs = synthetic_documents(spark, args.docs)
+        from llacie_spark.pipeline import docs_partitions
+
+        parts = docs_partitions(args.docs, spark.sparkContext.defaultParallelism)
+        docs = synthetic_documents(spark, args.docs, partitions=parts)
         meta = synthetic_doc_meta(spark, args.docs)
 
     t0 = time.time()
