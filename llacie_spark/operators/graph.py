@@ -80,12 +80,40 @@ def _small_star(e: DataFrame) -> DataFrame:
     return hang_nbrs.union(hang_self).where(F.col("u") != F.col("v")).distinct()
 
 
+def _driver_union_find(edge_rows, stats: dict | None) -> list[tuple]:
+    """Union-find with path compression over collected edges; component id
+    = min member (same contract as the distributed iteration)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edge_rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    nodes = set()
+    for u, v in edge_rows:
+        nodes.add(u)
+        nodes.add(v)
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["small_graph_fast_path"] = True
+    return [(n, find(n)) for n in sorted(nodes)]
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
     stats: dict | None = None,
+    small_graph_limit: int = 65_536,
 ) -> DataFrame:
     """(src, dst) undirected edges -> (node, component).
 
@@ -93,22 +121,58 @@ def connected_components(
     map to themselves); nodes with no edges at all don't appear — union your
     node set with component = node afterwards if needed. Pass ``stats={}`` to
     receive {"rounds": k}, the number of large-star/small-star alternations
-    the input needed (tests pin the logarithmic bound with it)."""
+    the input needed (tests pin the logarithmic bound with it).
+
+    Small graphs short-circuit: when the measured edge count (the first
+    round's signature, one aggregation) is at most ``small_graph_limit``
+    (default 64k edges ≈ ~1 MB of id pairs — a bounded driver transfer, not
+    a row-data collect of unknown size), the components come from a driver
+    union-find instead of the iteration. Rationale, measured at sf0.1: a
+    2-round star iteration over 256 edges costs ~4 s of pure shuffle-stage
+    latency (~20 exchanges); the union-find is microseconds. The distributed
+    path — evidenced at 10^6 nodes in BENCH/CC_SCALE.md — is unchanged above
+    the bound, and both paths are hash-verified against the same independent
+    recursive-CTE oracles (``kg_canonical``, ``dedup_keep_best``). Pass
+    ``small_graph_limit=0`` to force the iteration (the round-bound tests
+    do)."""
+    # lazy (non-eager) checkpoints throughout: each round's signature
+    # aggregation is the action that materializes that round's edge set and
+    # truncates its lineage — ONE Spark job per round instead of two. On
+    # small graphs the loop is pure fixed job latency, so this halves the
+    # wall (measured: 3.9 s -> ~2 s for a 2-round 256-edge run); at scale
+    # the signature is a cheap aggregate over data the checkpoint had to
+    # materialize anyway.
     raw = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     e = raw.where(F.col("u") != F.col("v"))
     rounds = 0
-    converged = True
-    if not e.isEmpty():
-        converged = False
-        sig = _edge_signature(e)
+    # the first signature doubles as the emptiness check (n == 0) and the
+    # small-graph routing decision, folding the old isEmpty() job into it
+    sig = _edge_signature(e)
+    if 0 < sig[0] <= small_graph_limit:
+        mapped = _driver_union_find(
+            [(r["u"], r["v"]) for r in raw.collect()], stats
+        )
+        spark = edges.sparkSession
+        node_type = raw.schema["u"].dataType
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("node", node_type),
+                T.StructField("component", node_type),
+            ]
+        )
+        return spark.createDataFrame(mapped, schema)
+    converged = sig[0] == 0
+    if not converged:
         for _ in range(max_iterations):
             prev = e
-            e = _small_star(_large_star(e)).localCheckpoint()
+            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
             rounds += 1
             new_sig = _edge_signature(e)
             if new_sig == sig:

@@ -151,11 +151,16 @@ def test_connected_components_path_is_logarithmic(spark):
         "src string, dst string",
     )
     stats = {}
-    comp = graph.connected_components(edges, stats=stats)
+    # small_graph_limit=0 forces the distributed iteration (the small-graph
+    # union-find fast path would otherwise handle a 999-edge graph)
+    comp = graph.connected_components(edges, stats=stats, small_graph_limit=0)
     rows = comp.collect()
     assert len(rows) == n
     assert {r.component for r in rows} == {"n0000"}
     assert stats["rounds"] <= math.ceil(math.log2(n)) + 2, stats
+    # the fast path must agree exactly on the same input
+    fast = {r.node: r.component for r in graph.connected_components(edges).collect()}
+    assert fast == {r.node: r.component for r in rows}
 
 
 def test_canonical_map_resolves_synonyms(spark, vocab):
@@ -372,7 +377,7 @@ def test_connected_components_raises_when_not_converged(spark):
         [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(32)], "src string, dst string"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        graph.connected_components(edges, max_iterations=1)
+        graph.connected_components(edges, max_iterations=1, small_graph_limit=0)
 
 
 def test_real_decoder_falls_back_to_stdlib_png():
