@@ -150,10 +150,26 @@ def connected_components(
     )
     e = raw.where(F.col("u") != F.col("v"))
     rounds = 0
-    # the first signature doubles as the emptiness check (n == 0) and the
-    # small-graph routing decision, folding the old isEmpty() job into it
-    sig = _edge_signature(e)
-    if 0 < sig[0] <= small_graph_limit:
+    # One aggregation yields the emptiness check, the iteration's starting
+    # signature, AND the small-graph routing decision. The routing gate
+    # counts ALL raw rows (self-loops included) because the fast path
+    # collects `raw` — gating on the non-self-loop count alone would let an
+    # edge set with few real edges but millions of distinct self-loop rows
+    # pass the gate and do an unbounded driver collect (ADVICE r4).
+    first = raw.agg(
+        F.count("*").alias("n_raw"),
+        F.count(F.when(F.col("u") != F.col("v"), 1)).alias("n"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("u") != F.col("v"), F.xxhash64("u", "v")).cast(
+                    "decimal(38,0)"
+                )
+            ),
+            F.lit(0),
+        ).alias("h"),
+    ).first()
+    sig = (int(first["n"]), int(first["h"]))
+    if 0 < int(first["n_raw"]) <= small_graph_limit:
         mapped = _driver_union_find(
             [(r["u"], r["v"]) for r in raw.collect()], stats
         )

@@ -101,7 +101,15 @@ def read_rows(path: str, sheet: str | None = None) -> list[dict]:
             for r in rels.iter(f"{_REL_NS}Relationship")
             if r.get("Id") == sheets[sheet]
         )
-        part = target if target.startswith("xl/") else f"xl/{target.lstrip('/')}"
+        # relationship targets are relative to xl/ — except absolute ones
+        # ('/xl/worksheets/sheet1.xml', emitted by some producers), which are
+        # package-rooted and must NOT get the 'xl/' prefix re-applied
+        if target.startswith("/"):
+            part = target.lstrip("/")
+        elif target.startswith("xl/"):
+            part = target
+        else:
+            part = f"xl/{target}"
         shared: list[str] = []
         if "xl/sharedStrings.xml" in z.namelist():
             sst = ET.fromstring(z.read("xl/sharedStrings.xml"))

@@ -1,0 +1,164 @@
+"""Optimistic-concurrency commits + additive schema evolution on the
+snapshot catalog (VERDICT r4 next-round #1 and #6).
+
+The conflict tests inject a competing commit through the catalog's
+``_commit_hook`` test seam: it fires at the top of ``_publish`` — after the
+outer writer has written its data files but before its compare-and-swap —
+which is exactly the interleaving where the pre-r5 implementation silently
+discarded the inner winner's bucket pointers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from llacie_spark.io import CommitConflict, SnapshotCatalog
+
+
+def _rows(cat, spark):
+    return {r.id: r.v for r in cat.read_stage(spark, "t").collect()}
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    c = SnapshotCatalog(str(tmp_path))
+    base = spark.range(0, 100).withColumn("v", F.lit("base"))
+    c.write_stage(base, "t", bucket_key="id", n_buckets=8)
+    return c
+
+
+def test_concurrent_upsert_loser_raises_and_retry_lands_both(spark, tmp_path, cat):
+    batch_a = spark.createDataFrame([(1, "A"), (200, "A")], "id long, v string")
+    batch_b = spark.createDataFrame([(2, "B"), (300, "B")], "id long, v string")
+
+    cat._commit_hook = lambda: cat.upsert(spark, batch_b, "t", "id")
+    with pytest.raises(CommitConflict):
+        cat.upsert(spark, batch_a, "t", "id")
+
+    # the winner's (B's) commit is intact — NOT silently overwritten: that
+    # was the last-writer-wins row-loss path this CAS exists to close
+    got = _rows(cat, spark)
+    assert got[2] == "B" and got[300] == "B"
+    assert 200 not in got  # the loser's batch is NOT partially visible
+
+    # the loser's reserved snapshot dir is an orphan; vacuum reclaims it
+    manifest = cat.current_snapshot("t")
+    live = {f"snap-{manifest['snapshot']}"} | set(manifest["buckets"].values())
+    orphans = cat.vacuum("t")
+    assert orphans and not (set(orphans) & live)
+
+    # a plain retry re-runs the merge against the winner's snapshot: both
+    # writers' batches land, nothing from either is lost
+    cat.upsert(spark, batch_a, "t", "id")
+    got = _rows(cat, spark)
+    assert got[1] == "A" and got[200] == "A"
+    assert got[2] == "B" and got[300] == "B"
+    assert got[0] == "base" and len(got) == 102
+
+
+def test_commit_retries_auto_recovers(spark, tmp_path, cat):
+    batch_a = spark.createDataFrame([(1, "A"), (200, "A")], "id long, v string")
+    batch_b = spark.createDataFrame([(2, "B"), (300, "B")], "id long, v string")
+
+    # the hook self-clears after firing, so only attempt 1 conflicts
+    cat._commit_hook = lambda: cat.upsert(spark, batch_b, "t", "id")
+    cat.upsert(spark, batch_a, "t", "id", commit_retries=2)
+    got = _rows(cat, spark)
+    assert got[1] == "A" and got[200] == "A"
+    assert got[2] == "B" and got[300] == "B"
+    assert len(got) == 102
+
+
+def test_write_stage_conflict_raises(spark, tmp_path, cat):
+    v2 = spark.range(0, 5).withColumn("v", F.lit("v2"))
+    other = spark.range(0, 5).withColumn("v", F.lit("other"))
+    cat._commit_hook = lambda: cat.write_stage(
+        other, "t", bucket_key="id", n_buckets=8
+    )
+    with pytest.raises(CommitConflict):
+        cat.write_stage(v2, "t", bucket_key="id", n_buckets=8)
+    assert set(_rows(cat, spark).values()) == {"other"}
+
+
+def test_concurrent_attempts_never_share_a_snapshot_dir(spark, tmp_path, cat):
+    """mkdir-reservation: the competing commit lands in a DIFFERENT snap dir
+    than the one the outer writer already wrote files into, so the winner's
+    committed files can never be clobbered by the loser's overwrite."""
+    seen = {}
+
+    def competing():
+        seen["outer_reserved"] = sorted(
+            p.name for p in (tmp_path / "t").glob("snap-*")
+        )
+        cat.upsert(
+            spark,
+            spark.createDataFrame([(2, "B")], "id long, v string"),
+            "t",
+            "id",
+        )
+
+    cat._commit_hook = competing
+    with pytest.raises(CommitConflict):
+        cat.upsert(
+            spark,
+            spark.createDataFrame([(1, "A")], "id long, v string"),
+            "t",
+            "id",
+        )
+    winner_snap = f"snap-{cat.current_snapshot('t')['snapshot']}"
+    # the winner's dir did not exist when the outer writer reserved its own
+    assert winner_snap not in seen["outer_reserved"]
+
+
+def test_schema_evolution_add_column_null_fills(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path))
+    base = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    cat.write_stage(base, "t", bucket_key="id", n_buckets=16)
+
+    batch = spark.createDataFrame(
+        [(7, -1, "runA")], "id long, v long, lineage string"
+    )
+    # rejected by default, with a hint naming the opt-in
+    with pytest.raises(ValueError, match="allow_new_columns"):
+        cat.upsert(spark, batch, "t", "id")
+
+    cat.upsert(spark, batch, "t", "id", allow_new_columns=True)
+    got = cat.read_stage(spark, "t")
+    assert got.columns == ["id", "v", "lineage"]
+    rows = {r.id: (r.v, r.lineage) for r in got.collect()}
+    assert len(rows) == 1000
+    assert rows[7] == (-1, "runA")
+    # every pre-evolution row — in touched AND untouched buckets — reads the
+    # new column as NULL (Iceberg add-column semantics)
+    assert all(lin is None for i, (v, lin) in rows.items() if i != 7)
+    # manifest records the new column with its dtype
+    cols = dict(tuple(c) for c in cat.current_snapshot("t")["columns"])
+    assert cols["lineage"] == "string"
+
+    # the contract is still strict elsewhere: dtype drift and dropped
+    # columns on existing data both raise
+    drift = spark.createDataFrame(
+        [(1, "s", "y")], "id long, v string, lineage string"
+    )
+    with pytest.raises(ValueError, match="dtype drift"):
+        cat.upsert(spark, drift, "t", "id")
+    with pytest.raises(ValueError, match="columns"):
+        cat.upsert(
+            spark, spark.createDataFrame([(1, 5)], "id long, v long"), "t", "id"
+        )
+
+    # a later full-schema upsert works, and a bucket split after evolution
+    # migrates heterogeneous files without dropping the evolved column
+    cat.upsert(
+        spark,
+        spark.createDataFrame([(8, -2, "runB")], "id long, v long, lineage string"),
+        "t",
+        "id",
+    )
+    hot = next(
+        int(k.split("@")[0]) % 16
+        for k, s in cat.current_snapshot("t")["buckets"].items()
+        if s == f"snap-{cat.current_snapshot('t')['snapshot']}"
+    )
+    cat.split_buckets(spark, "t", [hot])
+    rows = {r.id: (r.v, r.lineage) for r in cat.read_stage(spark, "t").collect()}
+    assert len(rows) == 1000
+    assert rows[7] == (-1, "runA") and rows[8] == (-2, "runB")

@@ -387,3 +387,30 @@ def test_real_decoder_falls_back_to_stdlib_png():
     png = multimodal.encode_png([[(1, 2, 3)] * 3] * 2)
     (meta,) = dec.decode_batch([png], ["image"])
     assert (meta["width"], meta["height"]) == (3, 2)
+
+
+def test_cc_selfloop_rows_count_toward_fast_path_gate(spark):
+    """The small-graph routing gate must count ALL collected rows — self-loop
+    rows included — because the fast path collects `raw`. Gating on the
+    non-self-loop edge count alone would let a graph with few real edges but
+    an unbounded number of distinct self-loop rows through to an unbounded
+    driver collect (ADVICE r4)."""
+    from llacie_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)] + [(i, i) for i in range(100, 150)],
+        "src long, dst long",
+    )
+    # 3 real edges but 53 raw rows: with limit 10 the distributed path runs
+    stats = {}
+    out = graph.connected_components(edges, stats=stats, small_graph_limit=10)
+    assert not stats.get("small_graph_fast_path")
+    comp = {r.node: r.component for r in out.collect()}
+    assert comp[3] == 1 and comp[11] == 10 and comp[120] == 120
+    # a roomy limit takes the fast path and agrees exactly
+    stats2 = {}
+    out2 = graph.connected_components(edges, stats=stats2, small_graph_limit=1000)
+    assert stats2.get("small_graph_fast_path")
+    assert {(r.node, r.component) for r in out2.collect()} == {
+        (r.node, r.component) for r in out.collect()
+    }

@@ -150,3 +150,26 @@ def test_gold_import_from_xlsx_matches_csv(spark, vocab, tmp_path):
     assert via_xlsx.count() == 145
     key = lambda r: (r.episode_id, r.label_name, r.annotator)
     assert sorted(map(key, via_xlsx.collect())) == sorted(map(key, via_csv.collect()))
+
+
+def test_read_rows_absolute_rel_target(tmp_path):
+    """Some producers emit package-rooted relationship targets
+    ('/xl/worksheets/sheet1.xml'); the reader must treat them as absolute,
+    not re-prefix 'xl/' onto them (ADVICE r4)."""
+    import zipfile
+
+    from llacie_spark.xlsx import read_rows, write_rows
+
+    p = str(tmp_path / "rel.xlsx")
+    write_rows(p, [{"a": 1, "b": "x"}], sheet="data")
+    q = str(tmp_path / "abs.xlsx")
+    with zipfile.ZipFile(p) as zin, zipfile.ZipFile(q, "w") as zout:
+        for item in zin.infolist():
+            data = zin.read(item.filename)
+            if item.filename == "xl/_rels/workbook.xml.rels":
+                assert b'Target="worksheets/' in data
+                data = data.replace(
+                    b'Target="worksheets/', b'Target="/xl/worksheets/'
+                )
+            zout.writestr(item, data)
+    assert read_rows(q, "data") == [{"a": 1, "b": "x"}]
