@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -75,7 +76,15 @@ def main(argv: list[str]) -> None:
 
     from llacie_spark.scorer import get_scorer
 
-    spark = SparkSession.builder.appName("llacie-kg").getOrCreate()
+    builder = SparkSession.builder.appName("llacie-kg")
+    if os.environ.get("SPARK_MASTER"):  # plain-python runs; spark-submit
+        builder = builder.master(os.environ["SPARK_MASTER"])  # sets its own
+    spark = builder.getOrCreate()
+    # local-mode Python worker creation is serialized and slow (~2.5 s per
+    # worker); pay it up front instead of inside the first timed stage
+    from llacie_spark.session import prewarm_python_workers
+
+    prewarm_python_workers(spark)
     vocab = Vocab.from_csv(args.vocab)
     scorer = get_scorer(args.scorer, vocab=vocab)
 
@@ -90,18 +99,21 @@ def main(argv: list[str]) -> None:
         meta = synthetic_doc_meta(spark, args.docs)
 
     t0 = time.time()
+    phases = {}
     if args.stage_root:
         cat = SnapshotCatalog(args.stage_root)
         todo = cat.unfinished(
             spark, docs, "extracted", "doc_id", redo_older_than=args.redo_older_than
         )
         n_todo = todo.count()
+        phases["discover_s"] = round(time.time() - t0, 2)
         if n_todo:
             stage_buckets = (
                 args.stage_buckets
                 if args.stage_buckets == "auto"
                 else int(args.stage_buckets)
             )
+            t = time.time()
             cat.upsert(
                 spark,
                 fused_extract(assemble_text(todo), vocab, scorer=scorer),
@@ -109,29 +121,39 @@ def main(argv: list[str]) -> None:
                 "doc_id",
                 n_buckets=stage_buckets,
             )
+            # extract+upsert are one fused plan (the UDF runs inside the
+            # bucket write), so this phase is "extraction + merge" together
+            phases["extract_upsert_s"] = round(time.time() - t, 2)
         if args.stage_maintenance:
+            t = time.time()
             split = cat.maybe_split(
                 spark, "extracted",
                 target_bucket_bytes=args.stage_split_target_mb << 20,
             )
             expired = cat.vacuum("extracted", older_than_s=600)
+            phases["maintenance_s"] = round(time.time() - t, 2)
             if split or expired:
                 print(
                     f"maintenance: split buckets {split}, expired {expired}",
                     file=sys.stderr,
                 )
+            phases["split_buckets"] = split
+        t = time.time()
         triples = episode_triples(
             cat.read_stage(spark, "extracted"), meta,
             argmin_strategy=args.argmin_strategy,
         )
     else:
         n_todo = None
+        t = time.time()
         triples = run_pipeline(
             docs, meta, vocab, scorer=scorer, argmin_strategy=args.argmin_strategy
         )
 
     stats = materialize_graph(triples, args.out, n_buckets=args.buckets)
+    phases["triples_materialize_s"] = round(time.time() - t, 2)
     stats["wall_s"] = round(time.time() - t0, 2)
+    stats["phases"] = phases
     stats["resumed_docs"] = n_todo
     print(json.dumps(stats))
     spark.stop()

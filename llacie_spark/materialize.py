@@ -83,12 +83,34 @@ def materialize_graph(
     # upstream plan (including the Python extraction UDF) would execute once
     # per write; metrics + counts then come from the *written* parquet so the
     # pipeline runs exactly once and lineage stays consistent.
-    triples = triples.persist()
+    #
+    # Persist ONLY the slim projection nodes/edges read. Triples deliberately
+    # carry the full `spans` payload (the per-row span-sequence invariant
+    # rides through every stage), but neither output table stores it —
+    # caching it too meant ~6 KB/row of dead weight (measured at 60k docs:
+    # ~2.3 GB cached, 8-18 s of GC-thrashed persist swinging 3x run-to-run,
+    # and an OOM'd executor at 1M docs). Column-pruning the cache is the
+    # same rule as pruning a scan: never materialize columns the consumer
+    # doesn't read.
+    slim = [
+        "episode_id", "pred", "label_name", "label_value", "line_number",
+        "doc_id", "stage", "strategy", "strategy_version", "updated_at",
+    ]
+    triples = triples.select(*[c for c in slim if c in triples.columns]).persist()
     try:
         build_nodes(triples).write.mode("overwrite").parquet(f"{out_dir}/nodes")
-        build_edges(triples, n_buckets).write.mode("overwrite").partitionBy(
+        # repartition ON the partition columns first: without it every input
+        # task opens a writer for every (pred, bucket) it sees — tasks × B
+        # files (measured: 32 tasks × 64 buckets = 2048 tiny files, ~60 s of
+        # writer open/close at 60k docs, and the downstream metrics/count
+        # reads pay the listing again). With it, one task = one leaf = one
+        # file — the same one-file-per-bucket rule io._write_buckets applies,
+        # and the layout Iceberg's hash write-distribution produces.
+        build_edges(triples, n_buckets).repartition(
             "pred", "subj_bucket"
-        ).parquet(f"{out_dir}/edges")
+        ).write.mode("overwrite").partitionBy("pred", "subj_bucket").parquet(
+            f"{out_dir}/edges"
+        )
     finally:
         triples.unpersist()
     edges_written = spark.read.parquet(f"{out_dir}/edges")

@@ -1,0 +1,251 @@
+"""End-to-end incremental lifecycle stress (VERDICT r4 #3).
+
+Every piece of the resumable-catalog story is unit-proven (resume anti-join,
+torn-manifest invisibility, UPSERT_SCALING.md, split atomicity); this
+exercises the COMPOSED lifecycle a 100 TB operator actually runs, as one
+artifact, driven through the real spark-submit entrypoint (jobs/run_kg.py):
+
+  1M synthetic docs arriving in 4 batches of 250k
+  -> each batch: anti-join work discovery, fused extract + bucketed upsert
+     into the snapshot catalog (auto-sized buckets), then maintenance
+     (maybe_split at a sandbox-scale 16 MB target so splits actually
+     trigger at 1M rows, + vacuum), then triples + graph materialize
+  -> the 3rd batch's process is SIGKILL'd mid-flight (whole process group,
+     JVM included) — whatever it wrote is an uncommitted orphan
+  -> the next invocation resumes: re-discovers the dead batch's docs,
+     re-extracts them, and the lifecycle completes
+  -> a ONE-SHOT twin (same 1M docs, fresh roots, single invocation) is the
+     ground truth: the final edges tables must be value-hash-equal
+     (all columns except the wall-clock `updated_at` lineage stamp).
+
+Usage: python scripts/lifecycle_stress.py [total_docs] [n_batches]
+Writes BENCH/LIFECYCLE.md and prints one JSON line. A fast in-process
+miniature of the same scenario runs in tests/test_lifecycle.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+TOTAL_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+N_BATCHES = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+KILL_BATCH = 3          # 1-based: this batch's process gets SIGKILL'd
+KILL_AFTER_S = 35.0     # mid-extraction (session startup is ~15 s)
+SPLIT_TARGET_MB = 16    # sandbox-scale so maybe_split actually fires at 1M rows
+
+ENV = {
+    **os.environ,
+    # spark-submit would ship llacie_spark via --py-files; a plain python
+    # subprocess needs the repo on PYTHONPATH instead
+    "PYTHONPATH": str(REPO) + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    "PYSPARK_PYTHON": sys.executable,
+    "SPARK_MASTER": "local[32]",
+    "PYSPARK_SUBMIT_ARGS": (
+        "--driver-memory 16g "
+        "--conf spark.sql.shuffle.partitions=32 "
+        "--conf spark.sql.adaptive.enabled=true "
+        "--conf spark.sql.execution.arrow.pyspark.enabled=true "
+        "--conf spark.sql.execution.arrow.maxRecordsPerBatch=2048 "
+        # bucket files are tens of MB; the default 128 MB split size would
+        # read the whole table with <8 tasks on a 32-core session
+        "--conf spark.sql.files.maxPartitionBytes=33554432 "
+        "pyspark-shell"
+    ),
+}
+
+# value-hash columns: everything except the wall-clock lineage stamp
+HASH_COLS = (
+    "subj, pred, obj, weight, line_number, provenance_doc, "
+    "stage, strategy, strategy_version, subj_bucket"
+)
+
+
+def invoke(docs: int, stage_root: str, out: str, kill_after: float | None = None) -> dict:
+    cmd = [
+        sys.executable, str(REPO / "jobs/run_kg.py"),
+        "--docs", str(docs), "--out", out, "--stage-root", stage_root,
+        "--stage-buckets", "auto", "--stage-maintenance",
+        "--stage-split-target-mb", str(SPLIT_TARGET_MB),
+        "--argmin-strategy", "window_fat",
+    ]
+    t0 = time.time()
+    errlog = open("/tmp/lifecycle_stderr.log", "ab")
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=errlog,
+        text=True, cwd=str(REPO), env=ENV, start_new_session=True,
+    )
+    if kill_after is not None:
+        time.sleep(kill_after)
+        os.killpg(proc.pid, signal.SIGKILL)  # driver + JVM, no cleanup
+        proc.wait()
+        return {"killed": True, "wall_s": round(time.time() - t0, 2)}
+    stdout, _ = proc.communicate()
+    if proc.returncode != 0:
+        raise RuntimeError(f"run_kg failed rc={proc.returncode}")
+    stats = json.loads(stdout.strip().splitlines()[-1])
+    stats["killed"] = False
+    stats["wall_s_total"] = round(time.time() - t0, 2)  # incl. JVM startup
+    return stats
+
+
+def edges_digest(out_dir: str) -> tuple[int, int]:
+    import duckdb
+
+    n, h = duckdb.sql(
+        f"SELECT count(*), coalesce(sum(hash({HASH_COLS})::hugeint), 0) "
+        f"FROM read_parquet('{out_dir}/edges/**/*.parquet', hive_partitioning=1)"
+    ).fetchone()
+    return int(n), int(h)
+
+
+def main() -> None:
+    work = tempfile.mkdtemp(prefix="lifecycle-")
+    rows = []
+    try:
+        inc_root, inc_out = f"{work}/inc_stages", f"{work}/inc_graph"
+        batch = TOTAL_DOCS // N_BATCHES
+        schedule = []
+        for i in range(1, N_BATCHES + 1):
+            if i == KILL_BATCH:
+                schedule.append((i, i * batch, KILL_AFTER_S))  # the doomed run
+            schedule.append((i, i * batch, None))
+        for i, docs, kill in schedule:
+            label = f"batch{i}" + (" (SIGKILL mid-run)" if kill else "")
+            r = invoke(docs, inc_root, inc_out, kill_after=kill)
+            r["label"], r["docs_visible"] = label, docs
+            rows.append(r)
+            print(json.dumps(r), flush=True)
+
+        manifest = json.loads(
+            (Path(inc_root) / "extracted/_SNAPSHOT.json").read_text()
+        )
+        one_root, one_out = f"{work}/one_stages", f"{work}/one_graph"
+        r = invoke(TOTAL_DOCS, one_root, one_out)
+        r["label"], r["docs_visible"] = "one-shot twin", TOTAL_DOCS
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+
+        inc_n, inc_h = edges_digest(inc_out)
+        one_n, one_h = edges_digest(one_out)
+        equal = (inc_n, inc_h) == (one_n, one_h)
+
+        done = [r for r in rows if not r["killed"]]
+        inc_done = done[:-1]
+        share = {
+            "extract_upsert_s": round(
+                sum(r["phases"].get("extract_upsert_s", 0) for r in inc_done), 2
+            ),
+            "maintenance_s": round(
+                sum(r["phases"].get("maintenance_s", 0) for r in inc_done), 2
+            ),
+            "discover_s": round(
+                sum(r["phases"].get("discover_s", 0) for r in inc_done), 2
+            ),
+            "triples_materialize_s": round(
+                sum(r["phases"].get("triples_materialize_s", 0) for r in inc_done), 2
+            ),
+            "total_incremental_wall_s": round(sum(r["wall_s"] for r in inc_done), 2),
+        }
+        report = {
+            "metric": "lifecycle_stress",
+            "total_docs": TOTAL_DOCS,
+            "n_batches": N_BATCHES,
+            "killed_batch": KILL_BATCH,
+            "kill_after_s": KILL_AFTER_S,
+            "split_target_mb": SPLIT_TARGET_MB,
+            "edges_equal": equal,
+            "edges_rows": {"incremental": inc_n, "one_shot": one_n},
+            "edges_hash": {"incremental": inc_h, "one_shot": one_h},
+            "final_manifest": {
+                "snapshot": manifest["snapshot"],
+                "n_buckets": manifest["n_buckets"],
+                "bucket_mods": manifest.get("bucket_mods"),
+            },
+            "phase_share": share,
+            "rows": rows,
+        }
+        _write_md(report)
+        print(json.dumps(report))
+        if not equal:
+            sys.exit(1)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _write_md(r: dict) -> None:
+    out = REPO / "BENCH"
+    out.mkdir(exist_ok=True)
+    lines = []
+    for x in r["rows"]:
+        if x["killed"]:
+            lines.append(
+                f"| {x['label']} | {x['docs_visible']:,} | — | SIGKILL'd at "
+                f"{r['kill_after_s']} s | — | — |"
+            )
+        else:
+            ph = x["phases"]
+            lines.append(
+                f"| {x['label']} | {x['docs_visible']:,} | {x['resumed_docs']:,} "
+                f"| {x['wall_s']} s (+{round(x['wall_s_total'] - x['wall_s'], 1)} s startup) "
+                f"| {ph.get('extract_upsert_s', 0)} / {ph.get('maintenance_s', 0)} "
+                f"/ {ph.get('triples_materialize_s', 0)} s "
+                f"| {ph.get('split_buckets', [])} |"
+            )
+    sh = r["phase_share"]
+    upkeep = sh["extract_upsert_s"] + sh["maintenance_s"]
+    (out / "LIFECYCLE.md").write_text(
+        f"""# BENCH/LIFECYCLE — composed incremental lifecycle at {r["total_docs"]:,} docs
+
+{r["total_docs"]:,} synthetic docs arriving in {r["n_batches"]} batches through
+`jobs/run_kg.py` (anti-join discovery -> fused extract -> auto-bucketed
+upsert -> maybe_split at a sandbox-scale {r["split_target_mb"]} MB target +
+vacuum -> triples -> graph materialize). Batch {r["killed_batch"]}'s process
+group (driver + JVM) is SIGKILL'd mid-extraction; the next invocation
+resumes from the last committed snapshot. Ground truth: a one-shot twin on
+fresh roots.
+
+| invocation | docs visible | re-extracted | wall (in-job) | extract+upsert / maintenance / triples+mat | splits |
+|---|---|---|---|---|---|
+{chr(10).join(lines)}
+
+**Hash equality (the contract):** incremental-with-kill == one-shot =
+**{r["edges_equal"]}** — {r["edges_rows"]["incremental"]:,} edges, value-hash over
+every column except the wall-clock `updated_at` stamp.
+
+Final catalog layout after organic growth: base n_buckets
+{r["final_manifest"]["n_buckets"]}, split moduli {r["final_manifest"]["bucket_mods"]}
+(snapshot {r["final_manifest"]["snapshot"]}) — `maybe_split` kept buckets near
+target while upserts stayed O(batch).
+
+Cost split across the incremental invocations (in-job wall
+{sh["total_incremental_wall_s"]} s): extract+upsert {sh["extract_upsert_s"]} s,
+maintenance {sh["maintenance_s"]} s — the upsert+maintenance machinery is
+{round(100 * upkeep / max(sh["total_incremental_wall_s"], 0.01), 1)}% of wall;
+work discovery {sh["discover_s"]} s; triples+materialize
+{sh["triples_materialize_s"]} s (re-done per invocation over the FULL table —
+the incremental path's overhead vs one-shot is discovery + repeated
+downstream derivation, not re-extraction).
+
+Honest notes: the SIGKILL lands mid-extraction of a 250k-doc batch, so its
+`resumed_docs` on the following invocation shows the dead batch re-counted
+in full — torn snapshot directories are invisible to readers and reclaimed
+by vacuum's grace window later. The {r["split_target_mb"]} MB split target is
+sandbox-scale (disclosed); production uses 256 MB+ with the same 2x
+hysteresis.
+"""
+    )
+
+
+if __name__ == "__main__":
+    main()
