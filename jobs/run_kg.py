@@ -114,9 +114,16 @@ def main(argv: list[str]) -> None:
                 else int(args.stage_buckets)
             )
             t = time.time()
+            # drop note_text before persisting the stage: it is re-derivable
+            # (assemble_text = ordered array_join over spans) and ~6 KB/doc —
+            # storing it would double every upsert's and every bucket
+            # split's IO forever. spans stay: the per-row span-sequence
+            # invariant rides through every staged table.
             cat.upsert(
                 spark,
-                fused_extract(assemble_text(todo), vocab, scorer=scorer),
+                fused_extract(assemble_text(todo), vocab, scorer=scorer).drop(
+                    "note_text"
+                ),
                 "extracted",
                 "doc_id",
                 n_buckets=stage_buckets,

@@ -225,8 +225,14 @@ every column except the wall-clock `updated_at` stamp.
 
 Final catalog layout after organic growth: base n_buckets
 {r["final_manifest"]["n_buckets"]}, split moduli {r["final_manifest"]["bucket_mods"]}
-(snapshot {r["final_manifest"]["snapshot"]}) — `maybe_split` kept buckets near
-target while upserts stayed O(batch).
+(snapshot {r["final_manifest"]["snapshot"]}) — `maybe_split` kept leaf buckets
+near the byte target while the table grew {r["n_batches"]}x. Honest caveat on
+the upsert cost: the O(batch) bound requires batch keys CLUSTERED in few
+buckets (BENCH/UPSERT_SCALING.md measures exactly that case); a uniformly-
+hashed 250k-doc batch touches every base bucket at sandbox bucket counts,
+so each upsert here rewrote ~the whole table. The scale-invariant statement
+is rewritten bytes ≈ touched buckets x target bucket size — at production
+sizing a batch's rewrite is bounded by its bucket fan-out, not table size.
 
 Cost split across the incremental invocations (in-job wall
 {sh["total_incremental_wall_s"]} s): extract+upsert {sh["extract_upsert_s"]} s,
