@@ -320,7 +320,15 @@ the line protocol). Steal-gated best-of-3 each.
 Protocol cost: {overhead_s} s/pass over {batches} subprocess spawns
 (one per Arrow batch, counted by accumulator) = **~{report["overhead_per_batch_ms"]} ms
 per batch**, of which a single child's spawn+init (python + imports +
-vocab load) measures {spawn_init_s} s driver-side. With a real llama.cpp
+vocab load) measures {spawn_init_s} s driver-side.
+
+This bench caught a real contract violation on its first run: the fused
+extraction UDF used to call `score_batch([sec])` per DOCUMENT, which an
+in-process gazetteer never notices but costs a subprocess backend one
+process spawn per row — measured 191 docs/sec (40,000 spawns/pass,
+209 s/pass) before the fix vs the whole-Arrow-batch call now
+(`pipeline.py` fused_udf). The U1 batched-scorer contract is only real if
+every caller actually batches. With a real llama.cpp
 the per-spawn init is seconds of model load, which is why the reference
 keeps ONE persistent engine per GPU worker (llacie/inference/vllm.py) —
 the Spark translation is a persistent server per executor (`LLMScorer`)

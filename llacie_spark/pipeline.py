@@ -340,15 +340,26 @@ def fused_extract(documents_with_text: DataFrame, vocab: Vocab, scorer=None) -> 
     def fused_udf(texts: pd.Series) -> pd.DataFrame:
         local_vocab = Vocab(ngram_dicts=vocab_dicts)
         s = scorer or GazetteerScorer(canonicalize=local_vocab.find_terms)
-        sections, mentions, matches = [], [], []
+        sections = []
         for t in texts:
             sec = extract_short_hpi(clean_note_text(t)) if t is not None else None
-            sec = sec if sec else None
-            ms = s.score_batch([sec])[0] if sec else []
-            found = local_vocab.find_terms("\n".join(ms)) if ms else {}
-            sections.append(sec)
-            mentions.append(ms)
-            matches.append(list(found.items()))
+            sections.append(sec if sec else None)
+        # ONE score_batch call per Arrow batch — the batched-scorer contract
+        # (U1; reference scores whole batches per GPU worker). Calling
+        # score_batch([sec]) per row cost a SubprocessScorer one process
+        # spawn per DOCUMENT: measured 191 docs/sec vs 7,600 at 40k docs
+        # (BENCH/SUBPROCESS_SCORER.md). Elementwise scorers (gazetteer,
+        # subprocess line protocol, caching wrapper) return identical
+        # results either way.
+        scored_idx = [i for i, sec in enumerate(sections) if sec]
+        scored = s.score_batch([sections[i] for i in scored_idx]) if scored_idx else []
+        mentions = [[] for _ in sections]
+        for i, ms in zip(scored_idx, scored):
+            mentions[i] = ms
+        matches = [
+            list(local_vocab.find_terms("\n".join(ms)).items()) if ms else []
+            for ms in mentions
+        ]
         return pd.DataFrame(
             {"section_text": sections, "mentions": mentions, "matches": matches}
         )
