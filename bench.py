@@ -553,8 +553,11 @@ with no driver loop, at thousands of docs/sec on one node.
 
 Round-over-round: round 2 measured 10,603 docs/sec at local[32] on the same
 480k-doc job (min_by argmin form); round 3 measured 13,460 (window_fat form
-+ scorer regex trims); this table's 32-core best is
-{r["detail"][32]["docs_per_sec"]} docs/sec, same code as round 3 — compare
++ scorer regex trims); round 4 measured 12,497 on round-3 code (host ~5%
+slower by probe); round 5 batches the fused UDF's score_batch call per
+Arrow batch (no per-row effect for the in-process gazetteer beyond call
+overhead). This table's 32-core best is
+{r["detail"][32]["docs_per_sec"]} docs/sec — compare
 against the live register probe above before reading any delta as a code
 change (the host's absolute speed drifts a few percent between sessions;
 all levels move together when it does). Extraction quality is gold-gated
