@@ -149,6 +149,21 @@ class SnapshotCatalog:
                     "the operation against the new snapshot (orphan dir "
                     f"snap-{snap_id} is reclaimed by vacuum)"
                 )
+            # a concurrent vacuum(older_than_s=None/short) may have reclaimed
+            # this writer's reserved-but-uncommitted directory as an orphan
+            # AFTER its bucket files were written but BEFORE this commit;
+            # committing anyway would point the manifest at deleted files.
+            # vacuum deletes under this same flock, so the check is
+            # race-free: either the dir is gone (raise, retry redoes the
+            # work) or the commit lands before vacuum can see it unreferenced
+            # (ADVICE r5).
+            if not (p.parent / f"snap-{snap_id}").is_dir():
+                raise CommitConflict(
+                    f"table {name!r}: snapshot dir snap-{snap_id} vanished "
+                    "before commit — a concurrent vacuum reclaimed it as an "
+                    "orphan; re-run the operation (or give vacuum a grace "
+                    "window via older_than_s when writers are concurrent)"
+                )
             tmp = p.with_suffix(".json.tmp")
             tmp.write_text(json.dumps(manifest))
             os.replace(tmp, p)  # atomic on POSIX: the commit point
@@ -509,6 +524,15 @@ class SnapshotCatalog:
         if not cur.get("bucket_key"):
             # legacy flat table: one-time conversion to the bucketed layout
             existing = self.read_stage(spark, name)
+            # same schema contract as the bucketed path: a batch MISSING
+            # table columns must fail here too, not be silently null-filled
+            # by unionByName (ADVICE r5); flat manifests predate recorded
+            # columns, so the contract is checked against the file schema
+            self._check_schema(
+                spark, df, name,
+                {"columns": [[c, t] for c, t in existing.dtypes]},
+                allow_new_columns=allow_new_columns,
+            )
             kept = existing.join(df.select(*keys).distinct(), keys, "left_anti")
             # with schema evolution the kept rows lack the new columns;
             # unionByName null-fills them (same semantics as the bucketed path)
@@ -727,6 +751,56 @@ class SnapshotCatalog:
             out[entry] = sum(f.stat().st_size for f in p.glob("*.parquet")) if p.exists() else 0
         return out
 
+    def drop_columns(
+        self, spark: SparkSession, name: str, cols: str | list[str]
+    ) -> list[str]:
+        """Metadata-only column drop — Iceberg ``ALTER TABLE ... DROP
+        COLUMN``. No data files are touched: the columns are removed from
+        the manifest schema, and :meth:`read_stage`'s explicit-schema read
+        simply stops projecting them (parquet readers ignore file columns
+        absent from the requested schema). Later upserts then expect batches
+        WITHOUT the dropped columns — the migration path for a stage that
+        stops persisting a re-derivable column (ADVICE r5: ``note_text``).
+
+        Bucketed tables only (flat snapshots read with inferred schema, so a
+        manifest-only drop could not take effect). Bucket-key columns cannot
+        be dropped. Returns the columns actually removed (empty if none were
+        present — the call is idempotent). Commits via the same CAS as every
+        other writer; concurrent-commit losers raise
+        :class:`CommitConflict`."""
+        cur = self.current_snapshot(name)
+        if cur is None:
+            raise ValueError(f"no such table: {name!r}")
+        if not cur.get("bucket_key"):
+            raise ValueError(
+                f"table {name!r} is a flat snapshot — drop_columns requires "
+                "the bucketed layout (flat reads infer schema from files)"
+            )
+        drop = [cols] if isinstance(cols, str) else list(cols)
+        hit = set(drop) & set(cur["bucket_key"])
+        if hit:
+            raise ValueError(
+                f"cannot drop bucket-key column(s) {sorted(hit)} of {name!r}"
+            )
+        pairs = self._schema_pairs(cur)
+        if pairs is None:
+            # pre-dtype manifest: record the file schema first, minus drops
+            sample = spark.read.parquet(self._bucket_paths(name, cur)[0])
+            pairs = [[c, t] for c, t in sample.dtypes]
+        removed = [c for c, _t in pairs if c in drop]
+        if not removed:
+            return []
+        meta = {
+            k: v for k, v in cur.items() if k not in ("snapshot", "committed_at")
+        }
+        meta["columns"] = [[c, t] for c, t in pairs if c not in drop]
+        # fresh snapshot id (atomic mkdir reservation) so the commit is a
+        # real CAS step other writers observe; the reserved dir stays empty —
+        # every bucket pointer still references its existing data dirs
+        snap_id = self._reserve_snap(name, cur["snapshot"] + 1)
+        self._publish(name, snap_id, meta, expected=cur["snapshot"])
+        return removed
+
     def vacuum(self, name: str, older_than_s: float | None = None) -> list[str]:
         """Delete snapshot directories no longer referenced by the current
         manifest (Iceberg ``expire_snapshots``); returns the removed
@@ -744,22 +818,32 @@ class SnapshotCatalog:
         writer's reserved-but-not-yet-committed snapshot directory (its
         mtime is by definition recent); aborted attempts older than the
         window are reclaimed as orphans."""
+        import fcntl
         import shutil
 
-        cur = self.current_snapshot(name)
-        if cur is None:
+        if self.current_snapshot(name) is None:
             return []
-        live = {f"snap-{cur['snapshot']}"} | {
-            snap for snap in cur.get("buckets", {}).values()
-        }
-        cutoff = None if older_than_s is None else time.time() - older_than_s
         removed = []
-        for p in (self.root / name).iterdir():
-            if p.is_dir() and p.name.startswith("snap-") and p.name not in live:
-                if cutoff is not None and p.stat().st_mtime >= cutoff:
-                    continue  # inside the retention grace window
-                shutil.rmtree(p)
-                removed.append(p.name)
+        # delete under the same flock _publish commits under: a writer whose
+        # reserved dir survives the exists-check inside _publish is committed
+        # (hence referenced) before vacuum can re-read the manifest, and one
+        # whose dir vacuum claims first fails its commit with CommitConflict
+        # instead of publishing pointers at deleted files (ADVICE r5)
+        with open(self.root / name / "_LOCK", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            cur = self.current_snapshot(name)
+            if cur is None:
+                return []
+            live = {f"snap-{cur['snapshot']}"} | {
+                snap for snap in cur.get("buckets", {}).values()
+            }
+            cutoff = None if older_than_s is None else time.time() - older_than_s
+            for p in (self.root / name).iterdir():
+                if p.is_dir() and p.name.startswith("snap-") and p.name not in live:
+                    if cutoff is not None and p.stat().st_mtime >= cutoff:
+                        continue  # inside the retention grace window
+                    shutil.rmtree(p)
+                    removed.append(p.name)
         return sorted(removed)
 
     def drop(self, name: str) -> None:

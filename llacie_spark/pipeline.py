@@ -353,6 +353,15 @@ def fused_extract(documents_with_text: DataFrame, vocab: Vocab, scorer=None) -> 
         # results either way.
         scored_idx = [i for i, sec in enumerate(sections) if sec]
         scored = s.score_batch([sections[i] for i in scored_idx]) if scored_idx else []
+        if len(scored) != len(scored_idx):
+            # a misbehaving backend (truncated subprocess stdout, LLM batch
+            # drop) must fail loudly — zip would silently hand trailing
+            # documents empty mentions (ADVICE r5)
+            raise RuntimeError(
+                f"scorer {type(s).__name__} returned {len(scored)} results "
+                f"for a batch of {len(scored_idx)} sections — batched-scorer "
+                "contract violated; refusing to silently drop mentions"
+            )
         mentions = [[] for _ in sections]
         for i, ms in zip(scored_idx, scored):
             mentions[i] = ms

@@ -154,6 +154,7 @@ def stream_upsert(
     name: str,
     key: str | list[str],
     checkpoint: str,
+    allow_new_columns: bool = False,
 ) -> None:
     """Drain the stream into the snapshot catalog via per-batch keyed upsert
     — the streaming form of the S6 keyed sink.
@@ -163,12 +164,21 @@ def stream_upsert(
     replaces its own rows instead of duplicating them — the same
     idempotency contract the reference's ON CONFLICT DO UPDATE sink
     provides per polling sweep (``llacie/db.py:650-665``). With an Iceberg
-    catalog this becomes MERGE INTO per epoch (docs/ICEBERG.md)."""
+    catalog this becomes MERGE INTO per epoch (docs/ICEBERG.md).
+
+    ``allow_new_columns`` composes the sink with additive schema evolution:
+    a stream whose source grew a column (a NEW readStream over the widened
+    source — a running stream's schema is fixed at creation) evolves the
+    table on its first drained batch, and rows from pre-evolution
+    micro-batches read the new column as NULL (VERDICT r5 #7)."""
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        catalog.upsert(batch_df.sparkSession, batch_df, name, key)
+        catalog.upsert(
+            batch_df.sparkSession, batch_df, name, key,
+            allow_new_columns=allow_new_columns,
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(_sink)

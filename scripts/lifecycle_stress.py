@@ -80,22 +80,39 @@ def invoke(docs: int, stage_root: str, out: str, kill_after: float | None = None
         "--argmin-strategy", "window_fat",
     ]
     t0 = time.time()
-    errlog = open("/tmp/lifecycle_stderr.log", "ab")
-    proc = subprocess.Popen(
-        cmd, stdout=subprocess.PIPE, stderr=errlog,
-        text=True, cwd=str(REPO), env=ENV, start_new_session=True,
-    )
-    if kill_after is not None:
-        time.sleep(kill_after)
-        os.killpg(proc.pid, signal.SIGKILL)  # driver + JVM, no cleanup
-        proc.wait()
-        return {"killed": True, "wall_s": round(time.time() - t0, 2)}
-    stdout, _ = proc.communicate()
+    # steal-attribute every batch the same way bench.py attributes timed
+    # runs — the r5 artifact had an unexplained 427s-vs-120s batch outlier
+    # with no way to tell code regression from noisy-neighbor epoch
+    # (VERDICT r5 #5)
+    from bench import _cpu_stat, _steal_pct
+
+    c0 = _cpu_stat()
+    # doomed runs never have their stdout read: route it to DEVNULL so a
+    # chatty child can't fill the pipe and stall before the SIGKILL lands,
+    # and close the errlog handle per call (ADVICE r5 fd leak)
+    with open("/tmp/lifecycle_stderr.log", "ab") as errlog:
+        proc = subprocess.Popen(
+            cmd,
+            stdout=subprocess.DEVNULL if kill_after is not None else subprocess.PIPE,
+            stderr=errlog,
+            text=True, cwd=str(REPO), env=ENV, start_new_session=True,
+        )
+        if kill_after is not None:
+            time.sleep(kill_after)
+            os.killpg(proc.pid, signal.SIGKILL)  # driver + JVM, no cleanup
+            proc.wait()
+            return {
+                "killed": True,
+                "wall_s": round(time.time() - t0, 2),
+                "steal_pct": _steal_pct(c0, _cpu_stat()),
+            }
+        stdout, _ = proc.communicate()
     if proc.returncode != 0:
         raise RuntimeError(f"run_kg failed rc={proc.returncode}")
     stats = json.loads(stdout.strip().splitlines()[-1])
     stats["killed"] = False
     stats["wall_s_total"] = round(time.time() - t0, 2)  # incl. JVM startup
+    stats["steal_pct"] = _steal_pct(c0, _cpu_stat())
     return stats
 
 

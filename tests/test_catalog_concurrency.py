@@ -203,3 +203,97 @@ def test_parallel_upserts_with_retries_all_land(spark, tmp_path):
     assert got[0] == "base"
     # the manifest advanced once per successful commit, monotonically
     assert cat.current_snapshot("t")["snapshot"] >= 4
+
+
+def test_drop_columns_metadata_only(spark, tmp_path):
+    """Iceberg ALTER TABLE DROP COLUMN semantics (ADVICE r5 note_text
+    migration): the drop rewrites NO data files — only the manifest schema
+    — and later upserts expect batches without the dropped column."""
+    import os
+
+    cat = SnapshotCatalog(str(tmp_path))
+    base = spark.range(0, 200).withColumn("v", F.lit("keep")).withColumn(
+        "fat", F.lit("x" * 64)
+    )
+    cat.write_stage(base, "t", bucket_key="id", n_buckets=8)
+
+    def data_files():
+        out = {}
+        for root, _dirs, files in os.walk(tmp_path / "t"):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = data_files()
+    assert cat.drop_columns(spark, "t", "fat") == ["fat"]
+    # metadata-only: every data file untouched (same paths, same mtimes)
+    assert data_files() == before
+
+    got = cat.read_stage(spark, "t")
+    assert got.columns == ["id", "v"]  # the column no longer projects
+    assert got.count() == 200
+
+    # idempotent; unknown columns are a no-op too
+    assert cat.drop_columns(spark, "t", "fat") == []
+    assert cat.drop_columns(spark, "t", ["nope"]) == []
+
+    # the upsert contract now expects the NEW schema: a batch carrying the
+    # dropped column is an (opt-in) addition, a batch without it is exact
+    cat.upsert(spark, spark.createDataFrame([(7, "new")], "id long, v string"), "t", "id")
+    rows = {r.id: r.v for r in cat.read_stage(spark, "t").collect()}
+    assert rows[7] == "new" and len(rows) == 200
+
+    # guard rails: bucket-key columns and flat tables refuse
+    with pytest.raises(ValueError, match="bucket-key"):
+        cat.drop_columns(spark, "t", "id")
+    cat.write_stage(base, "flat")
+    with pytest.raises(ValueError, match="flat"):
+        cat.drop_columns(spark, "flat", "fat")
+
+
+def test_flat_conversion_enforces_schema_contract(spark, tmp_path):
+    """The legacy flat→bucketed conversion path must enforce the same
+    schema contract as the bucketed path: a batch MISSING existing table
+    columns fails instead of being silently null-filled by unionByName
+    (ADVICE r5)."""
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write_stage(spark.range(0, 50).withColumn("v", F.lit("base")), "t")
+
+    short = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="columns"):
+        cat.upsert(spark, short, "t", "id")
+    # allow_new_columns covers ADDITIONS only — a missing column still fails
+    with pytest.raises(ValueError, match="columns"):
+        cat.upsert(spark, short, "t", "id", allow_new_columns=True)
+    # dtype drift is caught on the conversion path too
+    with pytest.raises(ValueError, match="dtype drift"):
+        cat.upsert(
+            spark,
+            spark.createDataFrame([(1, 5)], "id long, v long"),
+            "t", "id",
+        )
+
+    # the well-formed conversion still works
+    cat.upsert(spark, spark.createDataFrame([(1, "A")], "id long, v string"), "t", "id")
+    got = {r.id: r.v for r in cat.read_stage(spark, "t").collect()}
+    assert got[1] == "A" and len(got) == 50
+
+
+def test_publish_refuses_after_concurrent_vacuum_reclaims_snapshot(
+    spark, tmp_path, cat
+):
+    """A vacuum with no grace window can reclaim a concurrent writer's
+    reserved-but-uncommitted snapshot directory; the writer's commit must
+    then fail with CommitConflict instead of publishing bucket pointers at
+    deleted files (ADVICE r5). The hook fires after the writer's bucket
+    files are written, before its CAS — the exact hazard window."""
+    batch = spark.createDataFrame([(1, "A")], "id long, v string")
+    cat._commit_hook = lambda: cat.vacuum("t")  # reclaims the orphan dir
+    with pytest.raises(CommitConflict, match="vanished|vacuum"):
+        cat.upsert(spark, batch, "t", "id")
+
+    # the table is undamaged and a retry lands cleanly
+    cat.upsert(spark, batch, "t", "id")
+    assert _rows(cat, spark)[1] == "A"

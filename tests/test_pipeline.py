@@ -212,3 +212,21 @@ def test_fused_udf_batches_scorer_calls(spark, docs, vocab):
     assert calls.value <= 2, f"score_batch called {calls.value} times"
     # and the batched path still extracts (non-degenerate output)
     assert any(r.mentions for r in extracted)
+
+
+def test_fused_udf_rejects_length_mismatched_scorer(spark, docs, vocab):
+    """A backend returning the wrong number of results (truncated subprocess
+    stdout, LLM batch drop) must fail loudly — pre-r6 the zip silently gave
+    trailing documents empty mentions (ADVICE r5)."""
+    from llacie_spark.pipeline import fused_extract
+
+    class TruncatingScorer:
+        name = "feature.presenting_sx.truncating"
+        version = "0.0.0"
+
+        def score_batch(self, texts):
+            return [["fever"] for _ in texts[:-1]]  # drops the last result
+
+    out = fused_extract(assemble_text(docs).coalesce(1), vocab, scorer=TruncatingScorer())
+    with pytest.raises(Exception, match="batched-scorer contract"):
+        out.select("mentions").collect()
