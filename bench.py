@@ -113,7 +113,12 @@ def _timed_best(fn, n_runs: int = N_TIMED_RUNS, max_retry_batches: int = 2) -> d
     their round-over-round deltas were uninterpretable). ``retry_batches``
     records how many retries were spent; ``steal_gated: false`` after the
     bounded retries means the epoch outlasted the budget — reported, never
-    silently selected as clean."""
+    silently selected as clean. In that case ``best`` is the MINIMUM-STEAL
+    run (tie-break: fastest), not the fastest run — best-of-noisy biases
+    toward whichever run the neighbor disturbed least in the lucky
+    direction; min-steal is the least-polluted measurement we actually have
+    (VERDICT r5 #1). ``best_steal_pct`` stamps the steal of the selected
+    run either way."""
     runs, steals = [], []
     batches = 0
     while True:
@@ -128,8 +133,16 @@ def _timed_best(fn, n_runs: int = N_TIMED_RUNS, max_retry_batches: int = 2) -> d
         if clean or batches > max_retry_batches:
             break
         wait_quiet(max_wait_min=5.0)
+    if clean:
+        best = min(clean)
+        best_steal = min(
+            s for t, s in zip(runs, steals) if t == best and s < STEAL_OK_PCT
+        )
+    else:
+        best_steal, best = min(zip(steals, runs))
     return {
-        "best": min(clean) if clean else min(runs),
+        "best": best,
+        "best_steal_pct": best_steal,
         "runs": runs,
         "steal_pct": steals,
         "steal_gated": bool(clean),
@@ -182,7 +195,12 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     n_docs = max(1000, int(sf * KG_DOCS_PER_SF))
     _run_kg(spark, n_docs)
     kg_rows = _run_kg(spark, n_docs)  # second warm pass; also pins row count
-    r = _timed_best(lambda: _run_kg(spark, n_docs))
+    # the flagship row gets a larger re-arm budget than ordinary rows: it is
+    # THE round-over-round comparison number, and r5's driver run exhausted
+    # 2 retries mid-epoch and shipped steal_gated:false (VERDICT r5 #1). If
+    # even 6 batches can't find a quiet window, _timed_best now stamps the
+    # min-steal run rather than best-of-noisy.
+    r = _timed_best(lambda: _run_kg(spark, n_docs), max_retry_batches=6)
     timings["kg_pipeline"] = r["best"]
     detail["kg_pipeline"] = r
     total = round(time.time() - t_total0, 3)
