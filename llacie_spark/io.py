@@ -23,6 +23,20 @@ is implemented over parquet directories with a JSON snapshot manifest:
   table size (the reference's upsert likewise touches only conflicting rows;
   Iceberg MERGE INTO rewrites only affected files). Untouched bucket files
   are carried forward by reference, byte-identical.
+- **merge-on-read** (``upsert(..., merge_on_read=True)``) — the copy-on-
+  write merge above still rewrites every *touched* bucket in full; for
+  frequent small batches whose keys hash uniformly that approaches a full
+  table rewrite per batch (measured: upsert+maintenance was 90% of the 1M-doc
+  lifecycle wall, BENCH/LIFECYCLE.md). The MoR path instead appends the batch
+  as per-bucket *delta* files — write cost is O(batch), period — and defers
+  the merge to read time: the manifest records an ordered delta list per
+  bucket, readers resolve each key to its rows from the NEWEST generation
+  that contains it (same delete-then-insert semantics as CoW, including
+  multi-row keys), and :meth:`compact` folds deltas back into the base
+  during maintenance. This is Iceberg v2's merge-on-read (delete files +
+  data files resolved at scan, ``rewrite_data_files`` to compact); the
+  reference analog is Postgres's in-place conflicting-row update
+  (``llacie/db.py:650-665``), which never rewrites neighbors either.
 - :func:`split_buckets` — per-bucket layout migration. A bucket count fixed
   at creation quietly turns the O(batch) upsert claim into O(table/n) per
   touched bucket once the table outgrows it (at 100 TB, 32 buckets is 3 TB
@@ -38,7 +52,8 @@ Layout per table::
     <root>/<name>/snap-<k>/_mod=<m>/_bucket=<b>/part-*.parquet
     <root>/<name>/_SNAPSHOT.json
     #  {"snapshot": k, "n_buckets": n, "bucket_mods": {"3": 2n, ...},
-    #   "columns": [["k","bigint"], ...], "buckets": {"b@m": "snap-j", ...}}
+    #   "columns": [["k","bigint"], ...], "buckets": {"b@m": "snap-j", ...},
+    #   "deltas": {"b@m": ["snap-p", "snap-q"], ...}}   # MoR, oldest->newest
 
 A key with hash h belongs to bucket ``(h % m_b) @ m_b`` where ``m_b`` is the
 modulus recorded for its base bucket ``h % n`` (n if never split). Manifest
@@ -269,6 +284,77 @@ class SnapshotCatalog:
     def _entry_for(b: int, m: int) -> str:
         return f"{b}@{m}"
 
+    # -------------------------------------------------------- merge-on-read
+
+    def _delta_map(self, cur: dict) -> dict[str, list[str]]:
+        """Manifest delta lists, keyed by CANONICAL ``b@m`` entry (a base
+        pointer may still sit under a legacy ``"b"`` key; its deltas are
+        always recorded canonically)."""
+        return {k: list(v) for k, v in (cur.get("deltas") or {}).items()}
+
+    def _merge_generations(
+        self,
+        spark: SparkSession,
+        groups: list[list[str]],
+        keys: list[str],
+        schema_ddl: str | None,
+    ) -> DataFrame:
+        """Resolve merge-on-read: ``groups[g]`` holds the paths of generation
+        ``g`` (0 = base files, 1.. = delta snapshots oldest→newest; the
+        numbering only needs to be monotone WITHIN a bucket — keys never
+        span buckets, so all buckets share the group index). A key's live
+        rows are ALL its rows from the newest generation that contains it —
+        delete-then-insert semantics identical to the CoW merge, including
+        multi-row keys (an edges-style table keyed by subject). The
+        per-key ``max(_gen)`` window is the MoR read tax: one extra shuffle
+        of the delta-laden buckets, paid at scan instead of at write."""
+        from functools import reduce
+
+        from pyspark.sql.window import Window
+
+        dfs = []
+        for gen, paths in enumerate(groups):
+            if not paths:
+                continue
+            reader = spark.read
+            if schema_ddl is not None:
+                reader = reader.schema(schema_ddl)
+            dfs.append(reader.parquet(*paths).withColumn("_gen", F.lit(gen)))
+        union = reduce(DataFrame.unionByName, dfs)
+        w = Window.partitionBy(*[F.col(k) for k in keys])
+        return (
+            union.withColumn("_maxgen", F.max("_gen").over(w))
+            .where(F.col("_gen") == F.col("_maxgen"))
+            .drop("_gen", "_maxgen")
+        )
+
+    def _base_lookup(self, cur: dict, b: int, m: int, base: int) -> str | None:
+        """Base snapshot for leaf (b, m), under either manifest key form."""
+        snap = cur["buckets"].get(self._entry_for(b, m))
+        if snap is None and m == base:
+            snap = cur["buckets"].get(str(b))
+        return snap
+
+    def _leaf_groups(
+        self, name: str, cur: dict, entries: list[tuple[int, int]]
+    ) -> list[list[str]]:
+        """Generation path groups (base + deltas) for the given (b, m)
+        leaves — the input :meth:`_merge_generations` consumes."""
+        base = cur["n_buckets"]
+        deltas = self._delta_map(cur)
+        groups: list[list[str]] = [[]]
+        for b, m in entries:
+            canon = self._entry_for(b, m)
+            snap = self._base_lookup(cur, b, m, base)
+            if snap is not None:
+                key = canon if canon in cur["buckets"] else str(b)
+                groups[0].append(str(self._entry_path(name, snap, key)))
+            for i, dsnap in enumerate(deltas.get(canon, []), start=1):
+                while len(groups) <= i:
+                    groups.append([])
+                groups[i].append(str(self._entry_path(name, dsnap, canon)))
+        return groups
+
     @staticmethod
     def _schema_pairs(cur: dict) -> list[list[str]] | None:
         """Manifest ``columns`` as (name, dtype) pairs, or None when the
@@ -354,16 +440,57 @@ class SnapshotCatalog:
         if cur is None:
             return None
         if cur.get("buckets"):
-            paths = self._bucket_paths(name, cur)
             pairs = self._schema_pairs(cur)
-            reader = spark.read
-            if pairs is not None:
-                # explicit manifest schema: columns added by a schema-evolving
-                # upsert are read as NULL from bucket files written before the
-                # evolution (Iceberg add-column semantics), and multi-snapshot
-                # reads never depend on which file Spark samples for inference
-                reader = reader.schema(self._schema_ddl(pairs))
-            return reader.parquet(*paths)
+            # explicit manifest schema: columns added by a schema-evolving
+            # upsert are read as NULL from bucket files written before the
+            # evolution (Iceberg add-column semantics), and multi-snapshot
+            # reads never depend on which file Spark samples for inference
+            ddl = self._schema_ddl(pairs) if pairs is not None else None
+            deltas = self._delta_map(cur)
+            live_deltas = {k for k, v in deltas.items() if v}
+            if not live_deltas:
+                reader = spark.read
+                if ddl is not None:
+                    reader = reader.schema(ddl)
+                return reader.parquet(*self._bucket_paths(name, cur))
+            # merge-on-read scan: buckets WITHOUT deltas stream straight from
+            # their base files (no merge cost); delta-laden buckets pay the
+            # newest-generation-wins resolution in _merge_generations. The
+            # split keeps the MoR read tax proportional to un-compacted data,
+            # not to the table.
+            base = cur["n_buckets"]
+            pure_paths, merged_entries = [], []
+            for entry_key, snap in cur["buckets"].items():
+                b, m = self._entry_bucket_mod(entry_key, base)
+                if self._entry_for(b, m) in live_deltas:
+                    merged_entries.append((b, m))
+                else:
+                    pure_paths.append(str(self._entry_path(name, snap, entry_key)))
+            # a first-touch MoR bucket has deltas... no: first touch writes a
+            # base. Deltas always shadow an existing base entry, but guard
+            # anyway: delta entries whose base vanished still merge correctly
+            for canon in live_deltas:
+                b, m = self._entry_bucket_mod(canon, base)
+                if (b, m) not in merged_entries and self._base_lookup(
+                    cur, b, m, base
+                ) is None:
+                    merged_entries.append((b, m))
+            if ddl is None:
+                # legacy manifest without recorded dtypes: pin the schema
+                # from one base file so every generation unions consistently
+                sample = pure_paths[0] if pure_paths else self._leaf_groups(
+                    name, cur, merged_entries
+                )[0][0]
+                ddl = self._schema_ddl(
+                    [[c, t] for c, t in spark.read.parquet(sample).dtypes]
+                )
+            merged = self._merge_generations(
+                spark, self._leaf_groups(name, cur, merged_entries),
+                list(cur["bucket_key"]), ddl,
+            )
+            if not pure_paths:
+                return merged
+            return spark.read.schema(ddl).parquet(*pure_paths).unionByName(merged)
         if cur.get("buckets") == {}:  # bucketed but empty table
             return None
         return spark.read.parquet(str(self.root / name / f"snap-{cur['snapshot']}"))
@@ -469,9 +596,22 @@ class SnapshotCatalog:
         target_rows_per_bucket: int = 1_000_000,
         allow_new_columns: bool = False,
         commit_retries: int = 0,
+        merge_on_read: bool = False,
     ) -> dict:
         """Replace committed rows whose key appears in ``df``; keep others —
         Iceberg ``MERGE INTO ... WHEN MATCHED THEN UPDATE`` semantics.
+
+        ``merge_on_read=True`` defers the merge to scan time: the batch is
+        written as per-bucket DELTA files (write IO = O(batch) even when the
+        batch's keys hash into every bucket — the copy-on-write path rewrites
+        each touched bucket in full, which for uniform high-frequency batches
+        approaches a table rewrite per batch), the manifest appends the new
+        snapshot to each touched bucket's delta list, and readers resolve
+        keys newest-generation-wins (:meth:`_merge_generations`). Read-side
+        cost grows with un-compacted deltas; :meth:`compact` (run from
+        :meth:`maybe_split` maintenance) folds them back into the base.
+        Result-equivalent to CoW for any interleaving — tested. First
+        touches of a bucket write a base, not a delta.
 
         Incremental: the table lives in key-hash buckets (see module doc);
         only buckets that ``df``'s keys hash into are re-read, anti-joined,
@@ -499,7 +639,7 @@ class SnapshotCatalog:
             try:
                 return self._upsert_once(
                     spark, df, name, keys, n_buckets, target_rows_per_bucket,
-                    allow_new_columns,
+                    allow_new_columns, merge_on_read,
                 )
             except CommitConflict:
                 if attempt == commit_retries:
@@ -514,6 +654,7 @@ class SnapshotCatalog:
         n_buckets: int | str,
         target_rows_per_bucket: int,
         allow_new_columns: bool,
+        merge_on_read: bool = False,
     ) -> dict:
         cur = self.current_snapshot(name)
         if cur is None:
@@ -568,30 +709,46 @@ class SnapshotCatalog:
                 .distinct()
                 .collect()
             )
-            old_paths = []
-            for b, m in touched:
-                entry = self._entry_for(b, m)
-                snap = cur["buckets"].get(entry)
-                if snap is None and m == base:
-                    snap = cur["buckets"].get(str(b))  # legacy pre-split entry
-                if snap is not None:
-                    old_paths.append(str(self._entry_path(name, snap, entry if entry in cur["buckets"] else str(b))))
-            if old_paths:
+            if merge_on_read:
+                # MoR: the batch IS the new generation — no old-bucket read,
+                # no rewrite; write cost = O(batch) regardless of fan-out
+                merged = df
+            else:
+                groups = self._leaf_groups(name, cur, touched)
                 pairs = self._schema_pairs(cur)
-                reader = spark.read
+                full_ddl = None
                 if pairs is not None:
                     # explicit full schema (old columns + any additions):
                     # pre-evolution files read the new columns as NULL
                     full = [list(p) for p in pairs] + [[c, t] for c, t in new_cols]
-                    reader = reader.schema(self._schema_ddl(full))
-                old_touched = reader.parquet(*old_paths)
-                if pairs is None:
-                    for c, t in new_cols:  # legacy manifest: no dtype record
-                        old_touched = old_touched.withColumn(c, F.lit(None).cast(t))
-                kept = old_touched.join(df.select(*keys).distinct(), keys, "left_anti")
-                merged = kept.select(*expected).unionByName(df)
-            else:
-                merged = df
+                    full_ddl = self._schema_ddl(full)
+                if any(groups[1:]):
+                    # touched buckets carry pending MoR deltas: the CoW
+                    # rewrite must fold them in (reading only the base would
+                    # silently drop every delta-generation row) — this also
+                    # makes the rewrite a compaction of those buckets
+                    old_touched = self._merge_generations(
+                        spark, groups, keys, full_ddl
+                    )
+                elif groups[0]:
+                    reader = spark.read
+                    if full_ddl is not None:
+                        reader = reader.schema(full_ddl)
+                    old_touched = reader.parquet(*groups[0])
+                else:
+                    old_touched = None
+                if old_touched is not None:
+                    if pairs is None:
+                        for c, t in new_cols:  # legacy manifest: no dtype record
+                            old_touched = old_touched.withColumn(
+                                c, F.lit(None).cast(t)
+                            )
+                    kept = old_touched.join(
+                        df.select(*keys).distinct(), keys, "left_anti"
+                    )
+                    merged = kept.select(*expected).unionByName(df)
+                else:
+                    merged = df
             snap_id = self._reserve_snap(name, cur["snapshot"] + 1)
             written = self._write_buckets(merged, name, snap_id, keys, base, bucket_mods)
         finally:
@@ -604,10 +761,21 @@ class SnapshotCatalog:
                 "manifest NOT updated (previous snapshot remains committed)"
             )
         buckets = dict(cur["buckets"])
-        for b, m in written:
-            buckets[self._entry_for(b, m)] = f"snap-{snap_id}"
-            if m == base:
-                buckets.pop(str(b), None)  # upgrade superseded legacy entry
+        deltas = self._delta_map(cur)
+        if merge_on_read:
+            for b, m in written:
+                entry = self._entry_for(b, m)
+                if self._base_lookup(cur, b, m, base) is not None:
+                    deltas.setdefault(entry, []).append(f"snap-{snap_id}")
+                else:
+                    buckets[entry] = f"snap-{snap_id}"  # first touch: a base
+        else:
+            for b, m in written:
+                entry = self._entry_for(b, m)
+                buckets[entry] = f"snap-{snap_id}"
+                if m == base:
+                    buckets.pop(str(b), None)  # upgrade superseded legacy entry
+                deltas.pop(entry, None)  # CoW rewrite folded this bucket's deltas
         self._publish(
             name,
             snap_id,
@@ -617,6 +785,7 @@ class SnapshotCatalog:
                 "bucket_mods": {str(k): v for k, v in bucket_mods.items()},
                 "columns": [[c, t] for c, t in merged.select(*expected).dtypes],
                 "buckets": buckets,
+                "deltas": {k: v for k, v in deltas.items() if v},
             },
             expected=cur["snapshot"],
         )
@@ -655,9 +824,11 @@ class SnapshotCatalog:
         bad = [b for b in base_ids if not (0 <= b < base)]
         if bad:
             raise ValueError(f"base bucket ids out of range [0,{base}): {bad}")
+        deltas = self._delta_map(cur)
         new_mods = dict(bucket_mods)
         old_entry_keys: list[str] = []
-        old_paths: list[str] = []
+        consumed_delta_keys: list[str] = []
+        leaves: list[tuple[int, int]] = []
         for b in base_ids:
             m = bucket_mods.get(b, base)
             new_mods[b] = m * factor
@@ -665,25 +836,36 @@ class SnapshotCatalog:
             # recorded under either key form — read the FIRST match only
             # (reading both would duplicate rows into the children)
             for c in range(b, m, base):
-                for entry in (self._entry_for(c, m), str(c) if m == base else None):
+                canon = self._entry_for(c, m)
+                has_base = False
+                for entry in (canon, str(c) if m == base else None):
                     if entry is not None and entry in cur["buckets"]:
                         old_entry_keys.append(entry)
-                        old_paths.append(
-                            str(self._entry_path(name, cur["buckets"][entry], entry))
-                        )
+                        has_base = True
                         break
+                if has_base or deltas.get(canon):
+                    leaves.append((c, m))
+                if deltas.get(canon):
+                    # a split is also a compaction of its leaves: the merged
+                    # (base + deltas) rows fan into the children as pure base
+                    consumed_delta_keys.append(canon)
         snap_id = self._reserve_snap(name, cur["snapshot"] + 1)
         written: list[tuple[int, int]] = []
-        if old_paths:
-            reader = spark.read
+        if leaves:
             pairs = self._schema_pairs(cur)
-            if pairs is not None:
-                # manifest schema, not file-sampled inference: after additive
-                # schema evolution the leaf files disagree on columns, and a
-                # sampled pre-evolution file would silently drop the new
-                # column from every post-evolution row being migrated
-                reader = reader.schema(self._schema_ddl(pairs))
-            rows = reader.parquet(*old_paths)
+            # manifest schema, not file-sampled inference: after additive
+            # schema evolution the leaf files disagree on columns, and a
+            # sampled pre-evolution file would silently drop the new
+            # column from every post-evolution row being migrated
+            ddl = self._schema_ddl(pairs) if pairs is not None else None
+            groups = self._leaf_groups(name, cur, leaves)
+            if any(groups[1:]):
+                rows = self._merge_generations(spark, groups, keys, ddl)
+            else:
+                reader = spark.read
+                if ddl is not None:
+                    reader = reader.schema(ddl)
+                rows = reader.parquet(*groups[0])
             written = self._write_buckets(rows, name, snap_id, keys, base, new_mods)
             stray = [bm for bm in written if bm[0] % base not in base_ids]
             if stray:
@@ -694,6 +876,8 @@ class SnapshotCatalog:
         buckets = dict(cur["buckets"])
         for entry in old_entry_keys:
             buckets.pop(entry, None)
+        for key in consumed_delta_keys:
+            deltas.pop(key, None)
         for b, m in written:
             buckets[self._entry_for(b, m)] = f"snap-{snap_id}"
         self._publish(
@@ -705,10 +889,73 @@ class SnapshotCatalog:
                 "bucket_mods": {str(k): v for k, v in new_mods.items()},
                 "columns": cur.get("columns"),
                 "buckets": buckets,
+                "deltas": {k: v for k, v in deltas.items() if v},
             },
             expected=cur["snapshot"],
         )
         return self.current_snapshot(name)
+
+    def compact(
+        self, spark: SparkSession, name: str, min_deltas: int = 1
+    ) -> list[str]:
+        """Fold merge-on-read deltas back into base files — Iceberg's
+        ``rewrite_data_files`` maintenance. Every bucket carrying at least
+        ``min_deltas`` delta generations is rewritten as a pure base (the
+        same newest-generation-wins merge readers apply, materialized once);
+        its delta list is cleared, so subsequent scans of that bucket pay no
+        merge. Buckets below the threshold are untouched — their base files
+        stay byte-identical. Returns the compacted ``b@m`` entries.
+
+        MoR cost model this completes: upsert writes O(batch); reads pay a
+        per-key window over un-compacted generations; compaction (amortized,
+        in the maintenance slot alongside vacuum/maybe_split) bounds that
+        read tax. Write amplification moves from every-batch (CoW) to
+        once-per-``min_deltas``-batches."""
+        cur = self.current_snapshot(name)
+        if not cur or not cur.get("bucket_key"):
+            return []
+        deltas = self._delta_map(cur)
+        targets = sorted(k for k, v in deltas.items() if len(v) >= min_deltas)
+        if not targets:
+            return []
+        base = cur["n_buckets"]
+        keys = list(cur["bucket_key"])
+        bucket_mods = {int(k): int(v) for k, v in (cur.get("bucket_mods") or {}).items()}
+        entries = [self._entry_bucket_mod(k, base) for k in targets]
+        pairs = self._schema_pairs(cur)
+        ddl = self._schema_ddl(pairs) if pairs is not None else None
+        merged = self._merge_generations(
+            spark, self._leaf_groups(name, cur, entries), keys, ddl
+        )
+        snap_id = self._reserve_snap(name, cur["snapshot"] + 1)
+        written = self._write_buckets(merged, name, snap_id, keys, base, bucket_mods)
+        stray = [bm for bm in written if self._entry_for(*bm) not in targets]
+        if stray:
+            raise RuntimeError(
+                f"compact wrote buckets {stray} outside the target set "
+                f"{targets}; table {name!r} manifest NOT updated"
+            )
+        buckets = dict(cur["buckets"])
+        for b, m in written:
+            entry = self._entry_for(b, m)
+            buckets[entry] = f"snap-{snap_id}"
+            if m == base:
+                buckets.pop(str(b), None)
+            deltas.pop(entry, None)
+        self._publish(
+            name,
+            snap_id,
+            {
+                "bucket_key": keys,
+                "n_buckets": base,
+                "bucket_mods": {str(k): v for k, v in bucket_mods.items()},
+                "columns": cur.get("columns"),
+                "buckets": buckets,
+                "deltas": {k: v for k, v in deltas.items() if v},
+            },
+            expected=cur["snapshot"],
+        )
+        return targets
 
     def maybe_split(
         self,
@@ -716,16 +963,25 @@ class SnapshotCatalog:
         name: str,
         target_bucket_bytes: int = 256 << 20,
         factor: int = 2,
+        compact_min_deltas: int = 4,
     ) -> list[int]:
         """The split-decision loop: find base buckets whose on-disk leaf
         total exceeds ``2 * target_bucket_bytes`` and split them ``factor``-
         fold. Returns the base bucket ids split (empty = layout healthy).
         Run after large upserts — the same maintenance slot as vacuum.
         The 2x hysteresis keeps a bucket from oscillating around the target
-        (post-split halves sit at ~target, comfortably below the trigger)."""
+        (post-split halves sit at ~target, comfortably below the trigger).
+
+        Merge-on-read deltas are compacted first (buckets at
+        ``compact_min_deltas``+ generations; pass 0 to skip) so the size
+        accounting sees post-merge bytes and split children are born
+        delta-free."""
         cur = self.current_snapshot(name)
         if not cur or not cur.get("bucket_key"):
             return []
+        if compact_min_deltas and self._delta_map(cur):
+            self.compact(spark, name, min_deltas=compact_min_deltas)
+            cur = self.current_snapshot(name)
         base = cur["n_buckets"]
         per_base: dict[int, int] = {}
         for entry, size in self.bucket_sizes(name).items():
@@ -745,10 +1001,30 @@ class SnapshotCatalog:
         cur = self.current_snapshot(name)
         if not cur or not cur.get("buckets"):
             return {}
+
+        def _dir_bytes(p: Path) -> int:
+            return (
+                sum(f.stat().st_size for f in p.glob("*.parquet"))
+                if p.exists()
+                else 0
+            )
+
         out = {}
         for entry, snap in cur["buckets"].items():
-            p = self._entry_path(name, snap, entry)
-            out[entry] = sum(f.stat().st_size for f in p.glob("*.parquet")) if p.exists() else 0
+            out[entry] = _dir_bytes(self._entry_path(name, snap, entry))
+        base = cur["n_buckets"]
+        for canon, snaps in self._delta_map(cur).items():
+            # MoR delta bytes count toward the bucket's size: they are rows
+            # the bucket logically holds, and the split decision must see
+            # them (keyed under the canonical entry even when the base
+            # pointer uses the legacy key form)
+            b, m = self._entry_bucket_mod(canon, base)
+            key = canon if canon in out else (
+                str(b) if m == base and str(b) in out else canon
+            )
+            out[key] = out.get(key, 0) + sum(
+                _dir_bytes(self._entry_path(name, snap, canon)) for snap in snaps
+            )
         return out
 
     def drop_columns(
@@ -834,9 +1110,12 @@ class SnapshotCatalog:
             cur = self.current_snapshot(name)
             if cur is None:
                 return []
-            live = {f"snap-{cur['snapshot']}"} | {
-                snap for snap in cur.get("buckets", {}).values()
-            }
+            live = (
+                {f"snap-{cur['snapshot']}"}
+                | {snap for snap in cur.get("buckets", {}).values()}
+                # MoR delta snapshots are live data until compacted
+                | {s for lst in (cur.get("deltas") or {}).values() for s in lst}
+            )
             cutoff = None if older_than_s is None else time.time() - older_than_s
             for p in (self.root / name).iterdir():
                 if p.is_dir() and p.name.startswith("snap-") and p.name not in live:
