@@ -286,46 +286,77 @@ class SnapshotCatalog:
 
     # -------------------------------------------------------- merge-on-read
 
-    def _delta_map(self, cur: dict) -> dict[str, list[str]]:
+    def _delta_map(self, cur: dict) -> dict[str, list]:
         """Manifest delta lists, keyed by CANONICAL ``b@m`` entry (a base
         pointer may still sit under a legacy ``"b"`` key; its deltas are
-        always recorded canonically)."""
+        always recorded canonically). Elements are either a snap name
+        (data delta) or ``{"snap": ..., "tombstone": true}`` (key-deletion
+        delta — Iceberg's equality-delete file)."""
         return {k: list(v) for k, v in (cur.get("deltas") or {}).items()}
+
+    @staticmethod
+    def _delta_snap(entry) -> tuple[str, bool]:
+        """(snapshot name, is_tombstone) of a manifest delta element."""
+        if isinstance(entry, dict):
+            return entry["snap"], bool(entry.get("tombstone"))
+        return entry, False
 
     def _merge_generations(
         self,
         spark: SparkSession,
-        groups: list[list[str]],
+        legs: list[tuple[int, bool, list[str]]],
         keys: list[str],
-        schema_ddl: str | None,
+        pairs: list[list[str]] | None,
     ) -> DataFrame:
-        """Resolve merge-on-read: ``groups[g]`` holds the paths of generation
-        ``g`` (0 = base files, 1.. = delta snapshots oldest→newest; the
-        numbering only needs to be monotone WITHIN a bucket — keys never
-        span buckets, so all buckets share the group index). A key's live
-        rows are ALL its rows from the newest generation that contains it —
-        delete-then-insert semantics identical to the CoW merge, including
-        multi-row keys (an edges-style table keyed by subject). The
-        per-key ``max(_gen)`` window is the MoR read tax: one extra shuffle
-        of the delta-laden buckets, paid at scan instead of at write."""
+        """Resolve merge-on-read: ``legs`` holds (generation, is_tombstone,
+        paths) — generation 0 = base files, 1.. = delta snapshots
+        oldest→newest. The numbering only needs monotone WITHIN a bucket
+        (keys never span buckets), which :meth:`_leaf_groups` guarantees.
+        A key's live rows are ALL its rows from the newest generation that
+        contains it — delete-then-insert semantics identical to the CoW
+        merge, including multi-row keys (an edges-style table keyed by
+        subject). A tombstone generation contains only key columns; when it
+        is a key's newest generation the key is DELETED (the incremental-
+        derivation case: an episode recomputed to zero edges must retract
+        its old edges). The per-key ``max(_gen)`` window is the MoR read
+        tax: one extra shuffle of the delta-laden buckets, paid at scan
+        instead of at write. ``pairs`` is the full (name, dtype) table
+        schema; required whenever a tombstone leg is present (tombstone
+        rows are padded to it with typed NULLs before the union)."""
         from functools import reduce
 
         from pyspark.sql.window import Window
 
+        ddl = self._schema_ddl(pairs) if pairs is not None else None
         dfs = []
-        for gen, paths in enumerate(groups):
+        for gen, tomb, paths in legs:
             if not paths:
                 continue
-            reader = spark.read
-            if schema_ddl is not None:
-                reader = reader.schema(schema_ddl)
-            dfs.append(reader.parquet(*paths).withColumn("_gen", F.lit(gen)))
+            if tomb:
+                if pairs is None:
+                    raise ValueError(
+                        "tombstone deltas require a manifest column record"
+                    )
+                key_ddl = self._schema_ddl([p for p in pairs if p[0] in keys])
+                d = spark.read.schema(key_ddl).parquet(*paths)
+                for c, t in pairs:
+                    if c not in keys:
+                        d = d.withColumn(c, F.lit(None).cast(t))
+                d = d.select(*[c for c, _t in pairs])
+            else:
+                reader = spark.read
+                if ddl is not None:
+                    reader = reader.schema(ddl)
+                d = reader.parquet(*paths)
+            dfs.append(
+                d.withColumn("_gen", F.lit(gen)).withColumn("_dead", F.lit(tomb))
+            )
         union = reduce(DataFrame.unionByName, dfs)
         w = Window.partitionBy(*[F.col(k) for k in keys])
         return (
             union.withColumn("_maxgen", F.max("_gen").over(w))
-            .where(F.col("_gen") == F.col("_maxgen"))
-            .drop("_gen", "_maxgen")
+            .where((F.col("_gen") == F.col("_maxgen")) & ~F.col("_dead"))
+            .drop("_gen", "_maxgen", "_dead")
         )
 
     def _base_lookup(self, cur: dict, b: int, m: int, base: int) -> str | None:
@@ -337,23 +368,100 @@ class SnapshotCatalog:
 
     def _leaf_groups(
         self, name: str, cur: dict, entries: list[tuple[int, int]]
-    ) -> list[list[str]]:
-        """Generation path groups (base + deltas) for the given (b, m)
-        leaves — the input :meth:`_merge_generations` consumes."""
+    ) -> list[tuple[int, bool, list[str]]]:
+        """Generation legs (gen, is_tombstone, paths) for the given (b, m)
+        leaves — the input :meth:`_merge_generations` consumes. Legs are
+        keyed by (delta-list position, kind) so that two buckets whose
+        same-position deltas differ in kind don't share a leg; generation
+        numbers stay monotone within every bucket because a single bucket
+        has exactly one kind at each position."""
         base = cur["n_buckets"]
         deltas = self._delta_map(cur)
-        groups: list[list[str]] = [[]]
+        acc: dict[tuple[int, bool], list[str]] = {}
         for b, m in entries:
             canon = self._entry_for(b, m)
             snap = self._base_lookup(cur, b, m, base)
             if snap is not None:
                 key = canon if canon in cur["buckets"] else str(b)
-                groups[0].append(str(self._entry_path(name, snap, key)))
-            for i, dsnap in enumerate(deltas.get(canon, []), start=1):
-                while len(groups) <= i:
-                    groups.append([])
-                groups[i].append(str(self._entry_path(name, dsnap, canon)))
-        return groups
+                acc.setdefault((0, False), []).append(
+                    str(self._entry_path(name, snap, key))
+                )
+            for i, d in enumerate(deltas.get(canon, []), start=1):
+                dsnap, tomb = self._delta_snap(d)
+                acc.setdefault((i, tomb), []).append(
+                    str(self._entry_path(name, dsnap, canon))
+                )
+        return [
+            (gen, tomb, paths)
+            for gen, ((_i, tomb), paths) in enumerate(sorted(acc.items()))
+        ]
+
+    @staticmethod
+    def _has_merge_work(legs: list[tuple[int, bool, list[str]]]) -> bool:
+        return any(gen > 0 for gen, _tomb, _paths in legs)
+
+    def _leaf_entries(self, cur: dict) -> list[tuple[int, int]]:
+        """All (bucket, modulus) leaves of a bucketed table."""
+        base = cur["n_buckets"]
+        seen = {
+            self._entry_bucket_mod(k, base) for k in cur.get("buckets", {})
+        }
+        for canon in self._delta_map(cur):
+            seen.add(self._entry_bucket_mod(canon, base))
+        return sorted(seen)
+
+    def _read_entries(
+        self,
+        spark: SparkSession,
+        name: str,
+        cur: dict,
+        entries: list[tuple[int, int]],
+    ) -> DataFrame | None:
+        """Read the given leaves, resolving MoR deltas only where present:
+        delta-free buckets stream straight from their base files; delta-
+        laden buckets pay the newest-generation-wins merge. The split keeps
+        the MoR read tax proportional to un-compacted data, not table
+        size."""
+        base = cur["n_buckets"]
+        deltas = self._delta_map(cur)
+        pairs = self._schema_pairs(cur)
+        pure_paths, merged_entries = [], []
+        for b, m in entries:
+            canon = self._entry_for(b, m)
+            snap = self._base_lookup(cur, b, m, base)
+            if deltas.get(canon):
+                merged_entries.append((b, m))
+            elif snap is not None:
+                key = canon if canon in cur["buckets"] else str(b)
+                pure_paths.append(str(self._entry_path(name, snap, key)))
+        if not pure_paths and not merged_entries:
+            return None
+        if pairs is None:
+            # legacy manifest without recorded dtypes: pin the schema from
+            # one base file so every generation unions consistently
+            sample = (
+                pure_paths[0]
+                if pure_paths
+                else self._leaf_groups(name, cur, merged_entries)[0][2][0]
+            )
+            pairs = [[c, t] for c, t in spark.read.parquet(sample).dtypes]
+        ddl = self._schema_ddl(pairs)
+        parts = []
+        if pure_paths:
+            parts.append(spark.read.schema(ddl).parquet(*pure_paths))
+        if merged_entries:
+            parts.append(
+                self._merge_generations(
+                    spark,
+                    self._leaf_groups(name, cur, merged_entries),
+                    list(cur["bucket_key"]),
+                    pairs,
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     @staticmethod
     def _schema_pairs(cur: dict) -> list[list[str]] | None:
@@ -441,59 +549,79 @@ class SnapshotCatalog:
             return None
         if cur.get("buckets"):
             pairs = self._schema_pairs(cur)
-            # explicit manifest schema: columns added by a schema-evolving
-            # upsert are read as NULL from bucket files written before the
-            # evolution (Iceberg add-column semantics), and multi-snapshot
-            # reads never depend on which file Spark samples for inference
-            ddl = self._schema_ddl(pairs) if pairs is not None else None
-            deltas = self._delta_map(cur)
-            live_deltas = {k for k, v in deltas.items() if v}
-            if not live_deltas:
+            if not self._delta_map(cur):
+                # explicit manifest schema: columns added by a schema-evolving
+                # upsert are read as NULL from bucket files written before the
+                # evolution (Iceberg add-column semantics), and multi-snapshot
+                # reads never depend on which file Spark samples for inference
                 reader = spark.read
-                if ddl is not None:
-                    reader = reader.schema(ddl)
+                if pairs is not None:
+                    reader = reader.schema(self._schema_ddl(pairs))
                 return reader.parquet(*self._bucket_paths(name, cur))
-            # merge-on-read scan: buckets WITHOUT deltas stream straight from
-            # their base files (no merge cost); delta-laden buckets pay the
-            # newest-generation-wins resolution in _merge_generations. The
-            # split keeps the MoR read tax proportional to un-compacted data,
-            # not to the table.
-            base = cur["n_buckets"]
-            pure_paths, merged_entries = [], []
-            for entry_key, snap in cur["buckets"].items():
-                b, m = self._entry_bucket_mod(entry_key, base)
-                if self._entry_for(b, m) in live_deltas:
-                    merged_entries.append((b, m))
-                else:
-                    pure_paths.append(str(self._entry_path(name, snap, entry_key)))
-            # a first-touch MoR bucket has deltas... no: first touch writes a
-            # base. Deltas always shadow an existing base entry, but guard
-            # anyway: delta entries whose base vanished still merge correctly
-            for canon in live_deltas:
-                b, m = self._entry_bucket_mod(canon, base)
-                if (b, m) not in merged_entries and self._base_lookup(
-                    cur, b, m, base
-                ) is None:
-                    merged_entries.append((b, m))
-            if ddl is None:
-                # legacy manifest without recorded dtypes: pin the schema
-                # from one base file so every generation unions consistently
-                sample = pure_paths[0] if pure_paths else self._leaf_groups(
-                    name, cur, merged_entries
-                )[0][0]
-                ddl = self._schema_ddl(
-                    [[c, t] for c, t in spark.read.parquet(sample).dtypes]
-                )
-            merged = self._merge_generations(
-                spark, self._leaf_groups(name, cur, merged_entries),
-                list(cur["bucket_key"]), ddl,
-            )
-            if not pure_paths:
-                return merged
-            return spark.read.schema(ddl).parquet(*pure_paths).unionByName(merged)
+            return self._read_entries(spark, name, cur, self._leaf_entries(cur))
         if cur.get("buckets") == {}:  # bucketed but empty table
             return None
         return spark.read.parquet(str(self.root / name / f"snap-{cur['snapshot']}"))
+
+    def read_stage_pruned(
+        self,
+        spark: SparkSession,
+        name: str,
+        keys_df: DataFrame | None = None,
+        leaves: list[tuple[int, int]] | None = None,
+    ) -> DataFrame | None:
+        """Bucket-pruned read — the catalog-layout analog of partition
+        pruning: scan ONLY the leaf buckets that ``keys_df``'s keys hash
+        into (or an explicit ``leaves`` list of (bucket, modulus) pairs).
+        Returns the FULL content of those buckets — a superset of the keys'
+        rows; callers still filter or join. This is what keeps per-batch
+        incremental derivation IO proportional to the touched buckets, not
+        to the table: re-deriving the episodes of a 250k-doc batch reads the
+        batch's bucket fan-out of the extracted stage instead of all of it.
+
+        Cost: one bounded driver collect of distinct (bucket, modulus)
+        assignments (at most one pair per leaf — the same collect upsert's
+        touched-set uses), then a scan of only those leaf dirs with MoR
+        deltas merged where present. With Iceberg this is bucket-transform
+        partition pruning on a join/IN predicate."""
+        cur = self.current_snapshot(name)
+        if cur is None or not cur.get("bucket_key"):
+            return None if cur is None else self.read_stage(spark, name)
+        if leaves is None:
+            if keys_df is None:
+                raise ValueError("read_stage_pruned needs keys_df or leaves")
+            pairs = self._schema_pairs(cur)
+            if pairs is not None:
+                # a dtype-drifted key would hash into DIFFERENT buckets and
+                # silently prune away the rows being looked for
+                want = {c: t for c, t in pairs}
+                got = dict(keys_df.dtypes)
+                drift = {
+                    k: (want[k], got.get(k))
+                    for k in cur["bucket_key"]
+                    if got.get(k) != want[k]
+                }
+                if drift:
+                    raise ValueError(
+                        f"read_stage_pruned key dtype drift for {name!r}: "
+                        + ", ".join(
+                            f"{k}: table={w} keys_df={g}"
+                            for k, (w, g) in sorted(drift.items())
+                        )
+                    )
+            base = cur["n_buckets"]
+            bucket_mods = {
+                int(k): int(v) for k, v in (cur.get("bucket_mods") or {}).items()
+            }
+            keys = list(cur["bucket_key"])
+            mod, bucket = self._assignment_exprs(keys, base, bucket_mods)
+            leaves = sorted(
+                (r["b"], r["m"])
+                for r in keys_df.select(
+                    bucket.alias("b"), mod.alias("m")
+                ).distinct().collect()
+            )
+        return self._read_entries(spark, name, cur, list(leaves))
 
     def unfinished(
         self,
@@ -645,6 +773,130 @@ class SnapshotCatalog:
                 if attempt == commit_retries:
                     raise
 
+    def delete_keys(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        name: str,
+        commit_retries: int = 0,
+    ) -> dict:
+        """Retract every committed row whose bucket key appears in
+        ``keys_df`` — Iceberg's EQUALITY DELETE, written merge-on-read.
+
+        The keys are written as a per-bucket TOMBSTONE delta file (key
+        columns only); readers resolve newest-generation-wins, so a key
+        whose newest generation is a tombstone yields no rows
+        (:meth:`_merge_generations`). Write cost is O(keys), not O(touched
+        buckets): nothing is re-read or rewritten. :meth:`compact` folds
+        tombstones into the base like any delta — a bucket whose every key
+        is tombstoned compacts away entirely.
+
+        This is what incremental derivation needs for the shrink case: an
+        episode recomputed to zero edges must retract the edges a previous
+        batch committed, and a CoW rewrite of every touched bucket just to
+        drop a few keys re-creates the write amplification MoR exists to
+        avoid. Reference analog: the per-note DELETE that precedes its
+        re-insert (``llacie/db.py:650-665``)."""
+        for attempt in range(commit_retries + 1):
+            try:
+                return self._delete_keys_once(spark, keys_df, name)
+            except CommitConflict:
+                if attempt == commit_retries:
+                    raise
+
+    def _delete_keys_once(
+        self, spark: SparkSession, keys_df: DataFrame, name: str
+    ) -> dict:
+        cur = self.current_snapshot(name)
+        if cur is None:
+            raise ValueError(f"delete_keys: no committed table {name!r}")
+        if not cur.get("bucket_key"):
+            # flat table: no bucket layout to tombstone into — one CoW
+            # rewrite (same cost class as any flat-table mutation)
+            existing = self.read_stage(spark, name)
+            keys = [c for c, _t in keys_df.dtypes]
+            kept = existing.join(keys_df.select(*keys).distinct(), keys, "left_anti")
+            return self.write_stage(kept, name)
+        keys = list(cur["bucket_key"])
+        base = cur["n_buckets"]
+        bucket_mods = {
+            int(k): int(v) for k, v in (cur.get("bucket_mods") or {}).items()
+        }
+        pairs = self._schema_pairs(cur)
+        if pairs is None:
+            # legacy manifest without a column record: tombstone resolution
+            # needs the full schema to pad key-only rows, so stamp it now
+            # from one committed file (same pinning _read_entries applies)
+            sample = self._bucket_paths(name, cur)
+            if not sample:
+                return cur  # nothing committed, nothing to delete
+            pairs = [[c, t] for c, t in spark.read.parquet(sample[0]).dtypes]
+        want = {c: t for c, t in pairs}
+        got = dict(keys_df.dtypes)
+        drift = {k: (want[k], got.get(k)) for k in keys if got.get(k) != want[k]}
+        if drift:
+            # a dtype-drifted key hashes into DIFFERENT buckets: the
+            # tombstone would land beside rows it can never match
+            raise ValueError(
+                f"delete_keys key dtype drift for {name!r}: "
+                + ", ".join(
+                    f"{k}: table={w} keys_df={g}"
+                    for k, (w, g) in sorted(drift.items())
+                )
+            )
+        kdf = keys_df.select(*keys).distinct().persist()
+        try:
+            mod, bucket = self._assignment_exprs(keys, base, bucket_mods)
+            touched = sorted(
+                (r["b"], r["m"])
+                for r in kdf.select(bucket.alias("b"), mod.alias("m"))
+                .distinct()
+                .collect()
+            )
+            deltas = self._delta_map(cur)
+            live = [
+                (b, m)
+                for b, m in touched
+                if self._base_lookup(cur, b, m, base) is not None
+                or deltas.get(self._entry_for(b, m))
+            ]
+            if not live:
+                return cur  # none of the keys' buckets hold any data
+            snap_id = self._reserve_snap(name, cur["snapshot"] + 1)
+            written = self._write_buckets(
+                kdf, name, snap_id, keys, base, bucket_mods
+            )
+        finally:
+            kdf.unpersist()
+        stray = [bm for bm in written if bm not in touched]
+        if stray:
+            raise RuntimeError(
+                f"delete_keys wrote buckets {stray} outside the touched set "
+                f"{touched}; table {name!r} manifest NOT updated"
+            )
+        live_set = set(live)
+        for b, m in written:
+            # keys whose bucket holds nothing need no tombstone — their
+            # written file is simply never referenced (vacuumed as an orphan)
+            if (b, m) in live_set:
+                deltas.setdefault(self._entry_for(b, m), []).append(
+                    {"snap": f"snap-{snap_id}", "tombstone": True}
+                )
+        self._publish(
+            name,
+            snap_id,
+            {
+                "bucket_key": keys,
+                "n_buckets": base,
+                "bucket_mods": {str(k): v for k, v in bucket_mods.items()},
+                "columns": [list(p) for p in pairs],
+                "buckets": dict(cur["buckets"]),
+                "deltas": {k: v for k, v in deltas.items() if v},
+            },
+            expected=cur["snapshot"],
+        )
+        return self.current_snapshot(name)
+
     def _upsert_once(
         self,
         spark: SparkSession,
@@ -714,27 +966,26 @@ class SnapshotCatalog:
                 # no rewrite; write cost = O(batch) regardless of fan-out
                 merged = df
             else:
-                groups = self._leaf_groups(name, cur, touched)
+                legs = self._leaf_groups(name, cur, touched)
                 pairs = self._schema_pairs(cur)
-                full_ddl = None
+                full = None
                 if pairs is not None:
                     # explicit full schema (old columns + any additions):
                     # pre-evolution files read the new columns as NULL
                     full = [list(p) for p in pairs] + [[c, t] for c, t in new_cols]
-                    full_ddl = self._schema_ddl(full)
-                if any(groups[1:]):
+                if self._has_merge_work(legs):
                     # touched buckets carry pending MoR deltas: the CoW
                     # rewrite must fold them in (reading only the base would
                     # silently drop every delta-generation row) — this also
                     # makes the rewrite a compaction of those buckets
                     old_touched = self._merge_generations(
-                        spark, groups, keys, full_ddl
+                        spark, legs, keys, full
                     )
-                elif groups[0]:
+                elif legs:
                     reader = spark.read
-                    if full_ddl is not None:
-                        reader = reader.schema(full_ddl)
-                    old_touched = reader.parquet(*groups[0])
+                    if full is not None:
+                        reader = reader.schema(self._schema_ddl(full))
+                    old_touched = reader.parquet(*legs[0][2])
                 else:
                     old_touched = None
                 if old_touched is not None:
@@ -857,15 +1108,14 @@ class SnapshotCatalog:
             # schema evolution the leaf files disagree on columns, and a
             # sampled pre-evolution file would silently drop the new
             # column from every post-evolution row being migrated
-            ddl = self._schema_ddl(pairs) if pairs is not None else None
-            groups = self._leaf_groups(name, cur, leaves)
-            if any(groups[1:]):
-                rows = self._merge_generations(spark, groups, keys, ddl)
+            legs = self._leaf_groups(name, cur, leaves)
+            if self._has_merge_work(legs):
+                rows = self._merge_generations(spark, legs, keys, pairs)
             else:
                 reader = spark.read
-                if ddl is not None:
-                    reader = reader.schema(ddl)
-                rows = reader.parquet(*groups[0])
+                if pairs is not None:
+                    reader = reader.schema(self._schema_ddl(pairs))
+                rows = reader.parquet(*legs[0][2])
             written = self._write_buckets(rows, name, snap_id, keys, base, new_mods)
             stray = [bm for bm in written if bm[0] % base not in base_ids]
             if stray:
@@ -923,9 +1173,8 @@ class SnapshotCatalog:
         bucket_mods = {int(k): int(v) for k, v in (cur.get("bucket_mods") or {}).items()}
         entries = [self._entry_bucket_mod(k, base) for k in targets]
         pairs = self._schema_pairs(cur)
-        ddl = self._schema_ddl(pairs) if pairs is not None else None
         merged = self._merge_generations(
-            spark, self._leaf_groups(name, cur, entries), keys, ddl
+            spark, self._leaf_groups(name, cur, entries), keys, pairs
         )
         snap_id = self._reserve_snap(name, cur["snapshot"] + 1)
         written = self._write_buckets(merged, name, snap_id, keys, base, bucket_mods)
@@ -942,6 +1191,17 @@ class SnapshotCatalog:
             if m == base:
                 buckets.pop(str(b), None)
             deltas.pop(entry, None)
+        written_set = set(written)
+        for entry in targets:
+            b, m = self._entry_bucket_mod(entry, base)
+            if (b, m) not in written_set:
+                # every key in this bucket was tombstoned: the merge left it
+                # empty, so drop the base pointer (under either key form)
+                # along with the consumed deltas
+                buckets.pop(entry, None)
+                if m == base:
+                    buckets.pop(str(b), None)
+                deltas.pop(entry, None)
         self._publish(
             name,
             snap_id,
@@ -1023,7 +1283,10 @@ class SnapshotCatalog:
                 str(b) if m == base and str(b) in out else canon
             )
             out[key] = out.get(key, 0) + sum(
-                _dir_bytes(self._entry_path(name, snap, canon)) for snap in snaps
+                _dir_bytes(
+                    self._entry_path(name, self._delta_snap(d)[0], canon)
+                )
+                for d in snaps
             )
         return out
 
@@ -1113,8 +1376,13 @@ class SnapshotCatalog:
             live = (
                 {f"snap-{cur['snapshot']}"}
                 | {snap for snap in cur.get("buckets", {}).values()}
-                # MoR delta snapshots are live data until compacted
-                | {s for lst in (cur.get("deltas") or {}).values() for s in lst}
+                # MoR delta snapshots (data or tombstone) are live until
+                # compacted
+                | {
+                    self._delta_snap(s)[0]
+                    for lst in (cur.get("deltas") or {}).values()
+                    for s in lst
+                }
             )
             cutoff = None if older_than_s is None else time.time() - older_than_s
             for p in (self.root / name).iterdir():

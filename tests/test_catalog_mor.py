@@ -249,3 +249,235 @@ def test_unfinished_sees_through_deltas(spark, tmp_path):
     )
     todo = cat.unfinished(spark, spark.range(0, 25).select("id"), "t", "id")
     assert sorted(r.id for r in todo.collect()) == list(range(20, 25))
+
+
+# ---------------------------------------------------------------- tombstones
+# Equality deletes (Iceberg delete files): delete_keys writes key-only
+# TOMBSTONE deltas; a key whose newest generation is a tombstone yields no
+# rows. This is the retract path incremental derivation needs (an episode
+# recomputed to zero edges must remove its previously-committed edges).
+
+
+def test_delete_keys_tombstone_basic(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write_stage(
+        spark.range(0, 100).withColumn("v", F.lit("base")),
+        "t", bucket_key="id", n_buckets=4,
+    )
+    before = _base_files(cat)
+    cat.delete_keys(spark, spark.range(0, 100, 10).select("id"), "t")
+    assert _base_files(cat) == before  # O(keys) write: no base rewritten
+    cur = cat.current_snapshot("t")
+    assert any(
+        isinstance(d, dict) and d.get("tombstone")
+        for v in cur["deltas"].values()
+        for d in v
+    )
+    got = sorted(r.id for r in cat.read_stage(spark, "t").collect())
+    assert got == [i for i in range(100) if i % 10 != 0]
+
+
+def test_delete_then_reinsert_newest_wins(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write_stage(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        "t", bucket_key="id", n_buckets=2,
+    )
+    cat.delete_keys(spark, spark.createDataFrame([(1,)], "id long"), "t")
+    assert _sorted_rows(cat, spark) == [(2, "b")]
+    cat.upsert(
+        spark, spark.createDataFrame([(1, "back")], "id long, v string"),
+        "t", "id", merge_on_read=True,
+    )
+    assert _sorted_rows(cat, spark) == [(1, "back"), (2, "b")]
+    # and the reverse order: upsert then delete -> gone
+    cat.delete_keys(spark, spark.createDataFrame([(1,)], "id long"), "t")
+    assert _sorted_rows(cat, spark) == [(2, "b")]
+
+
+def test_delete_multirow_key_removes_row_set(spark, tmp_path):
+    # edges-table shape: one tombstone retracts every row of the key
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write_stage(
+        spark.createDataFrame(
+            [(1, "a"), (1, "b"), (1, "c"), (2, "z")], "id long, v string"
+        ),
+        "t", bucket_key="id", n_buckets=2,
+    )
+    cat.delete_keys(spark, spark.createDataFrame([(1,)], "id long"), "t")
+    assert _sorted_rows(cat, spark) == [(2, "z")]
+
+
+def test_compact_folds_tombstones(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write_stage(
+        spark.range(0, 100).withColumn("v", F.lit("base")),
+        "t", bucket_key="id", n_buckets=4,
+    )
+    cat.delete_keys(spark, spark.range(0, 100, 3).select("id"), "t")
+    before = _sorted_rows(cat, spark)
+    assert cat.compact(spark, "t")
+    cur = cat.current_snapshot("t")
+    assert not cur.get("deltas")
+    assert _sorted_rows(cat, spark) == before
+    # deleted keys stay gone through a further CoW upsert of other keys
+    cat.upsert(
+        spark, spark.createDataFrame([(1, "u")], "id long, v string"),
+        "t", "id", merge_on_read=False,
+    )
+    got = {r[0] for r in _sorted_rows(cat, spark)}
+    assert 0 not in got and 3 not in got and 1 in got
+
+
+def test_compact_drops_fully_tombstoned_bucket(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write_stage(
+        spark.range(0, 40).withColumn("v", F.lit("base")),
+        "t", bucket_key="id", n_buckets=2,
+    )
+    # delete EVERY key -> both buckets empty after compaction
+    cat.delete_keys(spark, spark.range(0, 40).select("id"), "t")
+    assert _sorted_rows(cat, spark) == []
+    cat.compact(spark, "t")
+    cur = cat.current_snapshot("t")
+    assert not cur.get("deltas")
+    assert not cur.get("buckets")  # emptied buckets dropped from manifest
+    df = cat.read_stage(spark, "t")
+    assert df is None or df.count() == 0
+    # the table is still writable afterwards
+    cat.upsert(
+        spark, spark.createDataFrame([(7, "n")], "id long, v string"),
+        "t", "id", merge_on_read=True,
+    )
+    assert _sorted_rows(cat, spark) == [(7, "n")]
+
+
+def test_cow_upsert_folds_tombstones(spark, tmp_path):
+    # a CoW rewrite of a bucket carrying tombstones must keep the deletions
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write_stage(
+        spark.range(0, 20).withColumn("v", F.lit("base")),
+        "t", bucket_key="id", n_buckets=1,
+    )
+    cat.delete_keys(spark, spark.createDataFrame([(3,), (4,)], "id long"), "t")
+    cat.upsert(
+        spark, spark.createDataFrame([(5, "cow")], "id long, v string"),
+        "t", "id", merge_on_read=False,
+    )
+    got = {r[0] for r in _sorted_rows(cat, spark)}
+    assert 3 not in got and 4 not in got and 5 in got and len(got) == 18
+    assert not cat.current_snapshot("t").get("deltas")
+
+
+def test_split_consumes_tombstones(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write_stage(
+        spark.range(0, 200).withColumn("v", F.lit("base")),
+        "t", bucket_key="id", n_buckets=2,
+    )
+    cat.delete_keys(spark, spark.range(0, 200, 4).select("id"), "t")
+    before = _sorted_rows(cat, spark)
+    cat.split_buckets(spark, "t", [0, 1])
+    cur = cat.current_snapshot("t")
+    assert not cur.get("deltas")  # consumed: children born clean
+    assert _sorted_rows(cat, spark) == before
+
+
+def test_delete_keys_dtype_drift_raises(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write_stage(
+        spark.range(0, 10).withColumn("v", F.lit("x")),
+        "t", bucket_key="id", n_buckets=2,
+    )
+    drifted = spark.createDataFrame([("3",)], "id string")
+    with pytest.raises(ValueError, match="dtype drift"):
+        cat.delete_keys(spark, drifted, "t")
+
+
+def test_delete_keys_flat_table_cow_fallback(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write_stage(spark.range(0, 10).withColumn("v", F.lit("x")), "t")
+    cat.delete_keys(spark, spark.createDataFrame([(1,), (2,)], "id long"), "t")
+    got = sorted(r.id for r in cat.read_stage(spark, "t").collect())
+    assert got == [0] + list(range(3, 10))
+
+
+def test_vacuum_keeps_live_tombstone_snaps(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write_stage(
+        spark.range(0, 50).withColumn("v", F.lit("base")),
+        "t", bucket_key="id", n_buckets=2,
+    )
+    cat.delete_keys(spark, spark.range(0, 50, 5).select("id"), "t")
+    cur = cat.current_snapshot("t")
+    tomb_snaps = {
+        d["snap"] for v in cur["deltas"].values() for d in v
+        if isinstance(d, dict)
+    }
+    assert tomb_snaps
+    assert not (set(cat.vacuum("t")) & tomb_snaps)
+    got = sorted(r.id for r in cat.read_stage(spark, "t").collect())
+    assert got == [i for i in range(50) if i % 5 != 0]
+
+
+# ------------------------------------------------------------- pruned reads
+# read_stage_pruned: the catalog-layout analog of bucket-transform partition
+# pruning — scan only the leaves a key set hashes into. This is what keeps
+# per-batch incremental derivation IO proportional to the touched buckets.
+
+
+def test_read_stage_pruned_is_superset_and_partial(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write_stage(
+        spark.range(0, 400).withColumn("v", F.lit("base")),
+        "t", bucket_key="id", n_buckets=8,
+    )
+    keys = spark.createDataFrame([(3,), (17,)], "id long")
+    pruned = cat.read_stage_pruned(spark, "t", keys_df=keys)
+    got = {r.id for r in pruned.collect()}
+    assert {3, 17} <= got           # contains the keys' rows
+    assert len(got) < 400           # ... and skipped most buckets
+    # every returned row belongs to a bucket one of the keys hashes into
+    full = cat.read_stage(spark, "t")
+    assert got == {
+        r.id for r in full.collect()
+    } - {r.id for r in full.join(pruned, "id", "left_anti").collect()}
+
+
+def test_read_stage_pruned_sees_deltas_and_tombstones(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write_stage(
+        spark.range(0, 100).withColumn("v", F.lit("base")),
+        "t", bucket_key="id", n_buckets=4,
+    )
+    cat.upsert(
+        spark, spark.createDataFrame([(7, "new")], "id long, v string"),
+        "t", "id", merge_on_read=True,
+    )
+    cat.delete_keys(spark, spark.createDataFrame([(9,)], "id long"), "t")
+    keys = spark.createDataFrame([(7,), (9,)], "id long")
+    pruned = cat.read_stage_pruned(spark, "t", keys_df=keys)
+    got = {r.id: r.v for r in pruned.collect()}
+    assert got.get(7) == "new"      # MoR delta resolved in the pruned scan
+    assert 9 not in got             # tombstone resolved in the pruned scan
+
+
+def test_read_stage_pruned_dtype_drift_raises(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write_stage(
+        spark.range(0, 10).withColumn("v", F.lit("x")),
+        "t", bucket_key="id", n_buckets=2,
+    )
+    with pytest.raises(ValueError, match="dtype drift"):
+        cat.read_stage_pruned(
+            spark, "t", keys_df=spark.createDataFrame([("1",)], "id string")
+        )
+
+
+def test_read_stage_pruned_flat_table_falls_back_to_full(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write_stage(spark.range(0, 10).withColumn("v", F.lit("x")), "t")
+    df = cat.read_stage_pruned(
+        spark, "t", keys_df=spark.createDataFrame([(1,)], "id long")
+    )
+    assert df.count() == 10  # flat layout: no pruning possible, full read
