@@ -58,6 +58,20 @@ def main(argv: list[str]) -> None:
         help="ISO timestamp: re-extract committed rows older than this "
         "(staleness redo after a strategy upgrade; needs --stage-root)",
     )
+    p.add_argument(
+        "--incremental-derive", action="store_true",
+        help="maintain the graph as catalog tables updated per batch "
+        "(episode-scoped triple recompute + merge-on-read edge upsert + "
+        "tombstone retraction) instead of re-deriving the full graph each "
+        "run; needs --stage-root. --out then renders a full export after "
+        "the batch commit (pass --no-export to skip it on intermediate "
+        "batches)",
+    )
+    p.add_argument(
+        "--no-export", action="store_true",
+        help="with --incremental-derive: skip the full parquet export "
+        "(the catalog tables are the product; export on the final batch)",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -122,6 +136,15 @@ def main(argv: list[str]) -> None:
         )
         n_todo = todo.count()
         phases["discover_s"] = round(time.time() - t0, 2)
+        if args.incremental_derive and n_todo:
+            # pin the batch's doc ids NOW (one slim-column write, O(batch)):
+            # `todo` is a lazy anti-join against the PRE-upsert snapshot, and
+            # re-evaluating it later — after the upsert commits and
+            # maintenance vacuums — could chase deleted files; every
+            # downstream consumer reads this stable listing instead
+            batch_ids_dir = os.path.join(args.stage_root, "_batch_doc_ids")
+            todo.select("doc_id").write.mode("overwrite").parquet(batch_ids_dir)
+            todo = spark.read.parquet(batch_ids_dir).join(docs, "doc_id")
         if n_todo:
             stage_buckets = (
                 args.stage_buckets
@@ -160,6 +183,49 @@ def main(argv: list[str]) -> None:
                     file=sys.stderr,
                 )
             phases["split_buckets"] = split
+        if args.incremental_derive:
+            # derivation work ∝ the batch's episodes, not the table: the
+            # affected episodes recompute from a bucket-pruned re-read of
+            # the extracted stage, edges upsert merge-on-read keyed by
+            # subj, zero-triple episodes retract via tombstones
+            from llacie_spark.incremental import (
+                derive_batch,
+                export_graph,
+                maintain_graph,
+            )
+
+            t = time.time()
+            if n_todo:
+                dstats = derive_batch(
+                    spark, cat,
+                    spark.read.parquet(
+                        os.path.join(args.stage_root, "_batch_doc_ids")
+                    ),
+                    meta,
+                    n_buckets=args.buckets,
+                    argmin_strategy=args.argmin_strategy,
+                )
+            else:
+                dstats = {
+                    "episodes": 0, "edges": 0, "retracted": 0,
+                    "metric_buckets": 0,
+                }
+            phases["derive_s"] = round(time.time() - t, 2)
+            if args.stage_maintenance:
+                t = time.time()
+                phases["graph_maintenance"] = maintain_graph(spark, cat)
+                phases["graph_maintenance_s"] = round(time.time() - t, 2)
+            stats = dict(dstats)
+            if not args.no_export:
+                t = time.time()
+                stats.update(export_graph(spark, cat, args.out))
+                phases["export_s"] = round(time.time() - t, 2)
+            stats["wall_s"] = round(time.time() - t0, 2)
+            stats["phases"] = phases
+            stats["resumed_docs"] = n_todo
+            print(json.dumps(stats))
+            spark.stop()
+            return
         t = time.time()
         triples = episode_triples(
             cat.read_stage(spark, "extracted"), meta,

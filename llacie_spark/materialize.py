@@ -60,13 +60,20 @@ def build_edges(triples: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFra
 
 
 def edge_partition_metrics(edges: DataFrame) -> DataFrame:
-    """Per-(pred, bucket) quality metrics — the queryable runtime footprint."""
+    """Per-(pred, bucket) quality metrics — the queryable runtime footprint.
+
+    ``objs`` (the bucket's distinct object ids, vocab-bounded so ≤ a few
+    hundred strings per row) makes global concept liveness derivable from
+    this TINY table instead of a full edges scan — what lets incremental
+    derivation retract a concept node whose last referencing edge
+    disappeared without reading the whole edges table."""
     return edges.groupBy("pred", "subj_bucket").agg(
         F.count("*").alias("n_edges"),
         F.countDistinct("subj").alias("n_subjects"),
         F.min("line_number").alias("min_line"),
         F.max("line_number").alias("max_line"),
         F.max("updated_at").alias("last_updated"),
+        F.sort_array(F.collect_set("obj")).alias("objs"),
     )
 
 
