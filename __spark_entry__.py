@@ -379,6 +379,30 @@ def _q_ivf_fullprobe(spark, sf):
     )
 
 
+def _q_ivf_pq(spark, sf):
+    """IVF-PQ (train → PQ-encode → ADC candidate scan → exact re-rank) at
+    full probe with ``refine=None``: the asymmetric-distance pass executes
+    over every candidate's codes but cannot drop anyone, so the exact
+    re-rank must return EXACTLY the brute-force top-k — the whole IVF-PQ
+    plan (per-block codebook training on a driver sample, distributed
+    vectorized encoding, probe-cell equi-join, code-only ADC scoring,
+    survivor re-join, rank window) hash-verified against the same exact-kNN
+    SQL as ``knn_bruteforce``. Partial-probe/finite-refine recall is
+    measured separately (scripts/ann_recall.py; COVERAGE.md)."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where("vec_id < 10")
+    out = similarity.ivf_pq_topk(
+        queries, emb, k=10, n_centroids=16, n_probe=16, m=8, n_codes=16,
+        refine=None, dim=len(emb.select("embedding").first()[0]),
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cos", 4).alias("cos"),
+    )
+
+
 def _q_embed_neardup(spark, sf):
     """Embedding near-duplicate pairs through the LSH-bucketed self-join.
 
@@ -667,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "knn_bruteforce": _q_knn_bruteforce,
         "ivf_fullprobe": _q_ivf_fullprobe,
+        "ivf_pq": _q_ivf_pq,
         "embed_neardup": _q_embed_neardup,
         "embed_stats": _q_embed_stats,
         "doc_enrich": _q_doc_enrich,
@@ -1193,6 +1218,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": _knn_sql(),
         # full probe == exact: the brute-force SQL IS the IVF oracle
         "ivf_fullprobe": _knn_sql(),
+        "ivf_pq": _knn_sql(),
         # brute force over the planted corpus: every pair above the
         # threshold, no LSH anywhere — if Spark's bucketed join missed or
         # invented a pair the hash check fails

@@ -306,3 +306,187 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+# ------------------------------------------------------------------- IVF-PQ
+# The production candidate-scan compression from docs/ANN_PRODUCTION.md,
+# implemented: per-block product quantization (FAISS ``IVF{K},PQ{M}``).
+# Candidates are first scored from their PQ codes via asymmetric distance
+# (table lookups against the query — the scan reads M small ints per row,
+# never the float vectors), then ONLY the top ``refine`` survivors per
+# query are joined back to full-precision vectors for the exact-cosine
+# re-rank. PQ error affects which candidates reach the re-rank, never the
+# final ordering — same containment property the cell-probe has.
+
+
+def train_pq(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    sample_size: int = 20_000,
+    iterations: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+):
+    """Product-quantization codebooks: independent k-means per subvector
+    block, trained on the same bounded driver sample recipe as
+    :func:`train_centroids` (the O(corpus) work — encoding — stays
+    distributed). Vectors are unit-normalized before blocking so the ADC
+    dot-sum approximates cosine. Returns an (m, n_codes, dim//m) matrix."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    n_rows = corpus.count()
+    frac = min(1.0, sample_size / max(n_rows, 1))
+    sample = np.array(
+        [r[0] for r in corpus.select(vec_col).sample(fraction=frac, seed=seed).collect()],
+        dtype=np.float64,
+    )
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+    )
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, n_codes, sub))
+    for bi in range(m):
+        X = sample[:, bi * sub : (bi + 1) * sub]
+        cents = X[rng.choice(len(X), size=min(n_codes, len(X)), replace=False)]
+        for _ in range(iterations):
+            d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cents)):
+                members = X[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[bi, : len(cents)] = cents
+    return books
+
+
+def _pq_encode_udf(codebooks, vec_col: str):
+    """Vectorized PQ encoder: per block, nearest-codeword id (L2 on the
+    unit-normalized vector). The codebook matrix rides the UDF closure."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _n_codes, sub = books.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(vecs: pd.Series) -> pd.Series:
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for bi in range(m):
+            blk = X[:, bi * sub : (bi + 1) * sub]
+            d2 = ((blk[:, None, :] - books[bi][None, :, :]) ** 2).sum(-1)
+            codes[:, bi] = np.argmin(d2, axis=1)
+        return pd.Series([c.tolist() for c in codes])
+
+    return enc(vec_col)
+
+
+def _adc_score_udf(codebooks, qv_col, codes_col):
+    """Asymmetric-distance scoring: per distinct query IN THE ARROW BATCH,
+    one (m × n_codes) lookup table of query-subvector · codeword dots; each
+    candidate's approximate cosine is then m table lookups summed —
+    vectorized per query group, no per-row Python."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _n_codes, sub = books.shape
+
+    @F.pandas_udf(T.DoubleType())
+    def adc(qvs: pd.Series, codes: pd.Series) -> pd.Series:
+        out = np.empty(len(qvs))
+        codes_m = np.array(codes.tolist(), dtype=np.int64)
+        keys = qvs.map(lambda v: np.asarray(v, np.float32).tobytes())
+        for _key, idx in keys.groupby(keys).groups.items():
+            rows = np.asarray(idx)
+            q = np.asarray(qvs.iloc[rows[0]], dtype=np.float64)
+            q = q / max(np.linalg.norm(q), 1e-12)
+            lut = np.stack(
+                [books[bi] @ q[bi * sub : (bi + 1) * sub] for bi in range(m)]
+            )  # (m, n_codes)
+            out[rows] = lut[np.arange(m)[None, :], codes_m[rows]].sum(axis=1)
+        return pd.Series(out)
+
+    return adc(qv_col, codes_col)
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    centroids=None,
+    codebooks=None,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    refine: int | None = 64,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with exact re-rank — the 10^12-row layout from
+    docs/ANN_PRODUCTION.md as a runnable operator.
+
+    Plan: corpus rows index once into (cell, PQ codes) — one vectorized-UDF
+    pass, narrow; queries explode to ``n_probe`` probe cells; the candidate
+    scan joins on cell and scores CODES ONLY (``_adc_score_udf`` — M ints
+    per candidate instead of the float vector, the ~40× IO cut the doc
+    describes); the top ``refine`` per query re-join their full vectors for
+    exact cosine; the final rank-window takes top-k.
+
+    ``refine=None`` keeps every candidate (the ADC pass still executes but
+    cannot drop anyone): with full probe the result is then EXACTLY brute
+    force — the oracle gate, same containment argument as
+    ``ivf_fullprobe``. Production dials: ``n_probe`` trades scan fraction,
+    ``refine`` bounds re-rank IO."""
+    if centroids is None:
+        centroids = train_centroids(
+            corpus, n_centroids=n_centroids, dim=dim, seed=seed, vec_col=vec_col
+        )
+    if codebooks is None:
+        codebooks = train_pq(
+            corpus, m=m, n_codes=n_codes, dim=dim, seed=seed, vec_col=vec_col
+        )
+    c_idx = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at(_nearest_centroids_udf(centroids, 1, vec_col), 1).alias("cell"),
+        _pq_encode_udf(codebooks, vec_col).alias("codes"),
+    )
+    q_probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(_nearest_centroids_udf(centroids, n_probe, vec_col)).alias("cell"),
+    )
+    approx = (
+        q_probes.join(c_idx, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "qv",
+            "neighbor_id",
+            _adc_score_udf(codebooks, F.col("qv"), F.col("codes")).alias("ascore"),
+        )
+    )
+    cut = (1 << 31) if refine is None else refine
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("ascore").desc(), F.col("neighbor_id").asc()
+    )
+    survivors = (
+        approx.withColumn("arank", F.row_number().over(wa))
+        .where(F.col("arank") <= cut)
+        .drop("arank", "ascore")
+    )
+    reranked = survivors.join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "neighbor_id",
+    ).select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -83,3 +83,42 @@ def test_ivf_full_probe_is_exact(spark, planted):
     truth = _pairs(brute_force_topk(queries, corpus, k=5))
     got = _pairs(ivf_topk(queries, corpus, k=5, centroids=cents, n_probe=8, dim=DIM))
     assert got == truth
+
+
+def test_ivf_pq_full_probe_no_refine_is_exact(spark, planted):
+    """IVF-PQ oracle gate: full probe + refine=None — the ADC code-scoring
+    pass runs over every candidate but cannot drop anyone, so the exact
+    re-rank must reproduce brute force EXACTLY (ranks and neighbors)."""
+    from llacie_spark.operators.similarity import ivf_pq_topk, train_centroids, train_pq
+
+    queries, corpus = planted
+    cents = train_centroids(corpus, n_centroids=8, dim=DIM, seed=5)
+    books = train_pq(corpus, m=4, n_codes=8, dim=DIM, seed=5)
+    truth = brute_force_topk(queries, corpus, k=5)
+    got = ivf_pq_topk(
+        queries, corpus, k=5, centroids=cents, codebooks=books,
+        n_probe=8, refine=None, dim=DIM,
+    )
+    t = {(r.query_id, r.neighbor_id, r.rank) for r in truth.collect()}
+    g = {(r.query_id, r.neighbor_id, r.rank) for r in got.collect()}
+    assert g == t
+
+
+def test_ivf_pq_refine_bounds_rerank_but_keeps_neardups(spark, planted):
+    """Finite refine: the PQ first pass keeps near-dup recall high (ADC
+    ranks planted near-identical vectors near the top) while bounding the
+    exact re-rank to `refine` candidates per query."""
+    from llacie_spark.operators.similarity import ivf_pq_topk, train_centroids, train_pq
+
+    queries, corpus = planted
+    cents = train_centroids(corpus, n_centroids=8, dim=DIM, seed=5)
+    books = train_pq(corpus, m=4, n_codes=8, dim=DIM, seed=5)
+    truth = _pairs(brute_force_topk(queries, corpus, k=8))
+    got = _pairs(
+        ivf_pq_topk(
+            queries, corpus, k=8, centroids=cents, codebooks=books,
+            n_probe=8, refine=24, dim=DIM,
+        )
+    )
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.8, f"IVF-PQ recall@8 {recall:.3f} below floor"
