@@ -72,6 +72,12 @@ def main(argv: list[str]) -> None:
         help="with --incremental-derive: skip the full parquet export "
         "(the catalog tables are the product; export on the final batch)",
     )
+    p.add_argument(
+        "--stage-merge-on-read", action="store_true",
+        help="stage the extraction upsert merge-on-read: write IO O(batch) "
+        "even for uniformly-hashed batches (BENCH/MOR_SCALING.md); deltas "
+        "compact in the --stage-maintenance slot",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -137,14 +143,18 @@ def main(argv: list[str]) -> None:
         n_todo = todo.count()
         phases["discover_s"] = round(time.time() - t0, 2)
         if args.incremental_derive and n_todo:
-            # pin the batch's doc ids NOW (one slim-column write, O(batch)):
-            # `todo` is a lazy anti-join against the PRE-upsert snapshot, and
+            # pin the batch's doc ids NOW into the pending-derivation log
+            # (one slim-column write, O(batch)). Two reasons: `todo` is a
+            # lazy anti-join against the PRE-upsert snapshot, and
             # re-evaluating it later — after the upsert commits and
-            # maintenance vacuums — could chase deleted files; every
-            # downstream consumer reads this stable listing instead
-            batch_ids_dir = os.path.join(args.stage_root, "_batch_doc_ids")
-            todo.select("doc_id").write.mode("overwrite").parquet(batch_ids_dir)
-            todo = spark.read.parquet(batch_ids_dir).join(docs, "doc_id")
+            # maintenance vacuums — could chase deleted files; and the log
+            # survives a crash between the extraction commit and the
+            # derivation commit, so the next invocation re-derives the
+            # batch instead of losing it (see incremental.record_pending)
+            from llacie_spark.incremental import record_pending
+
+            ids_dir = record_pending(todo, args.stage_root)
+            todo = spark.read.parquet(ids_dir).join(docs, "doc_id")
         if n_todo:
             stage_buckets = (
                 args.stage_buckets
@@ -165,6 +175,7 @@ def main(argv: list[str]) -> None:
                 "extracted",
                 "doc_id",
                 n_buckets=stage_buckets,
+                merge_on_read=args.stage_merge_on_read,
             )
             # extract+upsert are one fused plan (the UDF runs inside the
             # bucket write), so this phase is "extraction + merge" together
@@ -189,22 +200,27 @@ def main(argv: list[str]) -> None:
             # the extracted stage, edges upsert merge-on-read keyed by
             # subj, zero-triple episodes retract via tombstones
             from llacie_spark.incremental import (
+                clear_pending,
                 derive_batch,
                 export_graph,
                 maintain_graph,
+                read_pending,
             )
 
             t = time.time()
-            if n_todo:
+            # the pending log may hold MORE than this run's batch: a prior
+            # invocation that crashed between its extraction commit and its
+            # derivation commit left its ids outstanding — derive the union
+            # (idempotent at episode granularity), then retire exactly the
+            # entries that were read
+            pending, consumed = read_pending(spark, args.stage_root)
+            if pending is not None:
                 dstats = derive_batch(
-                    spark, cat,
-                    spark.read.parquet(
-                        os.path.join(args.stage_root, "_batch_doc_ids")
-                    ),
-                    meta,
+                    spark, cat, pending, meta,
                     n_buckets=args.buckets,
                     argmin_strategy=args.argmin_strategy,
                 )
+                clear_pending(consumed)
             else:
                 dstats = {
                     "episodes": 0, "edges": 0, "retracted": 0,

@@ -241,6 +241,53 @@ def derive_batch(
     }
 
 
+def record_pending(ids_df: DataFrame, stage_root: str) -> str:
+    """Append one batch's doc ids to the pending-derivation log.
+
+    The log closes the extract→derive crash window: the extraction upsert
+    and the graph derivation are separate commits, so a crash between them
+    would otherwise lose the batch's derivation FOREVER (discovery sees the
+    docs as extracted; nothing re-derives their episodes). Each batch's ids
+    land in their own subdirectory (unique name, so a retry never clobbers
+    a previous batch); :func:`read_pending` unions everything outstanding,
+    and because :func:`derive_batch` is idempotent at episode granularity,
+    re-deriving a crashed batch's ids together with the new batch converges
+    to the same tables. Iceberg analog: the derivation's source-snapshot
+    watermark kept in table properties."""
+    import os
+    import uuid
+
+    d = os.path.join(stage_root, "_pending_derive", uuid.uuid4().hex)
+    ids_df.select("doc_id").write.parquet(d)
+    return d
+
+
+def read_pending(spark: SparkSession, stage_root: str):
+    """(union of all outstanding batch ids | None, their subdirs)."""
+    import os
+
+    root = os.path.join(stage_root, "_pending_derive")
+    if not os.path.isdir(root):
+        return None, []
+    subs = sorted(
+        os.path.join(root, n) for n in os.listdir(root)
+        if os.path.isdir(os.path.join(root, n))
+    )
+    if not subs:
+        return None, []
+    return spark.read.parquet(*subs).distinct(), subs
+
+
+def clear_pending(paths: list[str]) -> None:
+    """Remove CONSUMED pending-log entries (the list read_pending returned
+    before the derive — never the whole directory, so a batch recorded
+    after the read survives)."""
+    import shutil
+
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def maintain_graph(
     spark: SparkSession,
     cat: SnapshotCatalog,

@@ -6,10 +6,12 @@ exercises the COMPOSED lifecycle a 100 TB operator actually runs, as one
 artifact, driven through the real spark-submit entrypoint (jobs/run_kg.py):
 
   1M synthetic docs arriving in 4 batches of 250k
-  -> each batch: anti-join work discovery, fused extract + bucketed upsert
-     into the snapshot catalog (auto-sized buckets), then maintenance
-     (maybe_split at a sandbox-scale 16 MB target so splits actually
-     trigger at 1M rows, + vacuum), then triples + graph materialize
+  -> each batch: anti-join work discovery, fused extract + MERGE-ON-READ
+     upsert into the snapshot catalog (auto-sized buckets), maintenance
+     (delta compaction + maybe_split at a sandbox-scale 16 MB target so
+     splits actually trigger at 1M rows, + vacuum), then BATCH-SCOPED
+     incremental derivation (r6: derive work ∝ the batch, not the table;
+     full parquet export only on the final invocation)
   -> the 3rd batch's process is SIGKILL'd mid-flight (whole process group,
      JVM included) — whatever it wrote is an uncommitted orphan
   -> the next invocation resumes: re-discovers the dead batch's docs,
@@ -41,7 +43,8 @@ sys.path.insert(0, str(REPO))
 TOTAL_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 N_BATCHES = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 KILL_BATCH = 3          # 1-based: this batch's process gets SIGKILL'd
-KILL_AFTER_S = 35.0     # mid-extraction (session startup is ~15 s)
+# mid-extraction (session startup is ~15 s); env-tunable for small smokes
+KILL_AFTER_S = float(os.environ.get("LIFECYCLE_KILL_AFTER", "35.0"))
 SPLIT_TARGET_MB = 16    # sandbox-scale so maybe_split actually fires at 1M rows
 
 ENV = {
@@ -71,13 +74,20 @@ HASH_COLS = (
 )
 
 
-def invoke(docs: int, stage_root: str, out: str, kill_after: float | None = None) -> dict:
+def invoke(
+    docs: int,
+    stage_root: str,
+    out: str,
+    kill_after: float | None = None,
+    extra: list[str] | None = None,
+) -> dict:
     cmd = [
         sys.executable, str(REPO / "jobs/run_kg.py"),
         "--docs", str(docs), "--out", out, "--stage-root", stage_root,
         "--stage-buckets", "auto", "--stage-maintenance",
         "--stage-split-target-mb", str(SPLIT_TARGET_MB),
         "--argmin-strategy", "window_fat",
+        *(extra or []),
     ]
     t0 = time.time()
     # steal-attribute every batch the same way bench.py attributes timed
@@ -137,9 +147,18 @@ def main() -> None:
             if i == KILL_BATCH:
                 schedule.append((i, i * batch, KILL_AFTER_S))  # the doomed run
             schedule.append((i, i * batch, None))
+        # incremental lane: merge-on-read staging (write IO O(batch) for
+        # these uniformly-hashed batches, BENCH/MOR_SCALING.md) + batch-
+        # incremental derivation (graph work ∝ the batch's episodes);
+        # intermediate batches skip the full parquet export — the catalog
+        # tables ARE the product; only the final invocation renders it
         for i, docs, kill in schedule:
+            is_final = (i, docs, kill) == schedule[-1]
+            extra = ["--incremental-derive", "--stage-merge-on-read"]
+            if not is_final:
+                extra.append("--no-export")
             label = f"batch{i}" + (" (SIGKILL mid-run)" if kill else "")
-            r = invoke(docs, inc_root, inc_out, kill_after=kill)
+            r = invoke(docs, inc_root, inc_out, kill_after=kill, extra=extra)
             r["label"], r["docs_visible"] = label, docs
             rows.append(r)
             print(json.dumps(r), flush=True)
@@ -164,13 +183,20 @@ def main() -> None:
                 sum(r["phases"].get("extract_upsert_s", 0) for r in inc_done), 2
             ),
             "maintenance_s": round(
-                sum(r["phases"].get("maintenance_s", 0) for r in inc_done), 2
+                sum(
+                    r["phases"].get("maintenance_s", 0)
+                    + r["phases"].get("graph_maintenance_s", 0)
+                    for r in inc_done
+                ), 2
             ),
             "discover_s": round(
                 sum(r["phases"].get("discover_s", 0) for r in inc_done), 2
             ),
-            "triples_materialize_s": round(
-                sum(r["phases"].get("triples_materialize_s", 0) for r in inc_done), 2
+            "derive_s": round(
+                sum(r["phases"].get("derive_s", 0) for r in inc_done), 2
+            ),
+            "export_s": round(
+                sum(r["phases"].get("export_s", 0) for r in inc_done), 2
             ),
             "total_incremental_wall_s": round(sum(r["wall_s"] for r in inc_done), 2),
         }
@@ -208,7 +234,7 @@ def _write_md(r: dict) -> None:
         if x["killed"]:
             lines.append(
                 f"| {x['label']} | {x['docs_visible']:,} | — | SIGKILL'd at "
-                f"{r['kill_after_s']} s | — | — |"
+                f"{r['kill_after_s']} s | — | — | {x.get('steal_pct', '—')} |"
             )
         else:
             ph = x["phases"]
@@ -216,8 +242,9 @@ def _write_md(r: dict) -> None:
                 f"| {x['label']} | {x['docs_visible']:,} | {x['resumed_docs']:,} "
                 f"| {x['wall_s']} s (+{round(x['wall_s_total'] - x['wall_s'], 1)} s startup) "
                 f"| {ph.get('extract_upsert_s', 0)} / {ph.get('maintenance_s', 0)} "
-                f"/ {ph.get('triples_materialize_s', 0)} s "
-                f"| {ph.get('split_buckets', [])} |"
+                f"/ {ph.get('derive_s', ph.get('triples_materialize_s', 0))} "
+                f"/ {ph.get('export_s', 0)} s "
+                f"| {ph.get('split_buckets', [])} | {x.get('steal_pct', '—')} |"
             )
     sh = r["phase_share"]
     upkeep = sh["extract_upsert_s"] + sh["maintenance_s"]
@@ -225,47 +252,52 @@ def _write_md(r: dict) -> None:
         f"""# BENCH/LIFECYCLE — composed incremental lifecycle at {r["total_docs"]:,} docs
 
 {r["total_docs"]:,} synthetic docs arriving in {r["n_batches"]} batches through
-`jobs/run_kg.py` (anti-join discovery -> fused extract -> auto-bucketed
-upsert -> maybe_split at a sandbox-scale {r["split_target_mb"]} MB target +
-vacuum -> triples -> graph materialize). Batch {r["killed_batch"]}'s process
-group (driver + JVM) is SIGKILL'd mid-extraction; the next invocation
-resumes from the last committed snapshot. Ground truth: a one-shot twin on
-fresh roots.
+`jobs/run_kg.py` with `--incremental-derive --stage-merge-on-read`:
+anti-join discovery -> pending-derive log -> fused extract -> MERGE-ON-READ
+upsert (write IO O(batch) even for these uniformly-hashed batches,
+BENCH/MOR_SCALING.md) -> maintenance (compaction + maybe_split at a
+sandbox-scale {r["split_target_mb"]} MB target + vacuum) -> BATCH-SCOPED
+derivation (the batch's episodes recompute from a bucket-pruned stage read;
+edges upsert MoR keyed by subj, zero-triple episodes retract via tombstones)
+-> full parquet export on the FINAL invocation only. Batch
+{r["killed_batch"]}'s process group (driver + JVM) is SIGKILL'd mid-flight;
+the next invocation resumes from the last committed snapshot, re-deriving
+anything left in the pending log. Ground truth: a one-shot twin (classic
+full-derivation path) on fresh roots.
 
-| invocation | docs visible | re-extracted | wall (in-job) | extract+upsert / maintenance / triples+mat | splits |
-|---|---|---|---|---|---|
+| invocation | docs visible | re-extracted | wall (in-job) | extract+upsert / maintenance / derive / export | splits | steal% |
+|---|---|---|---|---|---|---|
 {chr(10).join(lines)}
 
 **Hash equality (the contract):** incremental-with-kill == one-shot =
 **{r["edges_equal"]}** — {r["edges_rows"]["incremental"]:,} edges, value-hash over
-every column except the wall-clock `updated_at` stamp.
+every column except the wall-clock `updated_at` stamp. Per-batch steal% is
+recorded per invocation (same /proc/stat attribution bench.py uses) so an
+outlier batch is attributable to host noise vs code (VERDICT r5 #5).
 
 Final catalog layout after organic growth: base n_buckets
 {r["final_manifest"]["n_buckets"]}, split moduli {r["final_manifest"]["bucket_mods"]}
 (snapshot {r["final_manifest"]["snapshot"]}) — `maybe_split` kept leaf buckets
-near the byte target while the table grew {r["n_batches"]}x. Honest caveat on
-the upsert cost: the O(batch) bound requires batch keys CLUSTERED in few
-buckets (BENCH/UPSERT_SCALING.md measures exactly that case); a uniformly-
-hashed 250k-doc batch touches every base bucket at sandbox bucket counts,
-so each upsert here rewrote ~the whole table. The scale-invariant statement
-is rewritten bytes ≈ touched buckets x target bucket size — at production
-sizing a batch's rewrite is bounded by its bucket fan-out, not table size.
+near the byte target while the table grew {r["n_batches"]}x.
 
 Cost split across the incremental invocations (in-job wall
-{sh["total_incremental_wall_s"]} s): extract+upsert {sh["extract_upsert_s"]} s,
-maintenance {sh["maintenance_s"]} s — the upsert+maintenance machinery is
+{sh["total_incremental_wall_s"]} s): extract+upsert {sh["extract_upsert_s"]} s
+(merge-on-read: the uniform batch no longer rewrites the table),
+maintenance {sh["maintenance_s"]} s — together
 {round(100 * upkeep / max(sh["total_incremental_wall_s"], 0.01), 1)}% of wall;
-work discovery {sh["discover_s"]} s; triples+materialize
-{sh["triples_materialize_s"]} s (re-done per invocation over the FULL table —
-the incremental path's overhead vs one-shot is discovery + repeated
-downstream derivation, not re-extraction).
+work discovery {sh["discover_s"]} s; batch-scoped derive {sh["derive_s"]} s
+(each batch's 250k episodes, NOT the full table — r5 re-derived the whole
+graph every invocation); final export {sh["export_s"]} s (once, by design).
 
 Honest notes: the SIGKILL lands mid-extraction of a 250k-doc batch, so its
 `resumed_docs` on the following invocation shows the dead batch re-counted
 in full — torn snapshot directories are invisible to readers and reclaimed
-by vacuum's grace window later. The {r["split_target_mb"]} MB split target is
-sandbox-scale (disclosed); production uses 256 MB+ with the same 2x
-hysteresis.
+by vacuum's grace window later; a crash AFTER the extraction commit would
+instead be caught by the pending-derive log (tests/test_incremental.py).
+The {r["split_target_mb"]} MB split target is sandbox-scale (disclosed);
+production uses 256 MB+ with the same 2x hysteresis. The synthetic corpus
+maps 1 doc -> 1 episode, so each batch's derive scope is exactly its own
+episodes; skewed doc->episode maps only shrink the scope further.
 """
     )
 

@@ -278,3 +278,48 @@ def test_empty_batch_is_cheap_noop(spark, world):
         "episodes": 0, "edges": 0, "retracted": 0, "metric_buckets": 0,
     }
     assert _edges_set(cat, spark) == before
+
+
+def test_pending_log_survives_extract_derive_crash(spark, world, tmp_path):
+    """The extract→derive crash window: a batch whose extraction committed
+    but whose derivation never ran stays in the pending log; the NEXT
+    invocation derives the union (crashed + new) and converges to full."""
+    from llacie_spark.incremental import (
+        clear_pending,
+        read_pending,
+        record_pending,
+    )
+
+    cat, b1, b2, meta = world
+    root = str(tmp_path / "stage")
+    # batch 1: normal lifecycle — record, stage, derive, clear
+    record_pending(_ids(b1), root)
+    _stage(cat, spark, b1)
+    pending, consumed = read_pending(spark, root)
+    derive_batch(spark, cat, pending, meta, n_buckets=N_BUCKETS)
+    clear_pending(consumed)
+    assert read_pending(spark, root) == (None, [])
+    # batch 2: extraction commits, then the process "dies" before deriving
+    record_pending(_ids(b2), root)
+    _stage(cat, spark, b2)
+    # ...crash: no derive, no clear. Recovery invocation (no new docs):
+    pending, consumed = read_pending(spark, root)
+    assert pending is not None
+    assert {r.doc_id for r in pending.collect()} == {"d2", "d4"}
+    derive_batch(spark, cat, pending, meta, n_buckets=N_BUCKETS)
+    clear_pending(consumed)
+    _assert_matches_full(cat, spark, meta)
+
+
+def test_clear_pending_spares_unconsumed_entries(spark, world, tmp_path):
+    from llacie_spark.incremental import read_pending, record_pending, clear_pending
+
+    cat, b1, b2, _meta = world
+    root = str(tmp_path / "stage")
+    record_pending(_ids(b1), root)
+    _p, consumed = read_pending(spark, root)
+    record_pending(_ids(b2), root)  # recorded AFTER the read
+    clear_pending(consumed)
+    pending, left = read_pending(spark, root)
+    assert len(left) == 1
+    assert {r.doc_id for r in pending.collect()} == {"d2", "d4"}
