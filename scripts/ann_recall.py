@@ -133,6 +133,52 @@ def measure_ivf(spark, queries, corpus, dim, regime):
     return out
 
 
+# (n_probe, refine) at a fixed 128-centroid grid: the PQ question is how
+# much the code-only first pass costs in recall when the exact re-rank is
+# capped at `refine` candidates — compared against plain IVF at the SAME
+# scan fraction, where every candidate gets the exact-cosine treatment.
+IVF_PQ_SETTINGS = [(8, 32), (8, 128), (16, 32), (16, 128), (32, 128)]
+
+
+def measure_ivf_pq(spark, queries, corpus, dim, regime):
+    from llacie_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+        ivf_topk,
+        train_centroids,
+        train_pq,
+    )
+
+    corpus = corpus.cache()
+    truth = brute_force_topk(queries, corpus, k=K).select("query_id", "neighbor_id")
+    truth_set = {(r.query_id, r.neighbor_id) for r in truth.collect()}
+    cents = train_centroids(corpus, n_centroids=128, dim=dim)
+    books = train_pq(corpus, m=8, n_codes=16, dim=dim)
+    out = []
+    for n_probe, refine in IVF_PQ_SETTINGS:
+        got = ivf_pq_topk(
+            queries, corpus, k=K, centroids=cents, codebooks=books,
+            n_probe=n_probe, refine=refine, dim=dim,
+        ).select("query_id", "neighbor_id")
+        got_set = {(r.query_id, r.neighbor_id) for r in got.collect()}
+        recall = len(got_set & truth_set) / len(truth_set)
+        plain = ivf_topk(
+            queries, corpus, k=K, centroids=cents, n_probe=n_probe, dim=dim
+        ).select("query_id", "neighbor_id")
+        plain_set = {(r.query_id, r.neighbor_id) for r in plain.collect()}
+        plain_recall = len(plain_set & truth_set) / len(truth_set)
+        frac = n_probe / 128
+        out.append((n_probe, refine, recall, plain_recall, frac))
+        print(
+            f"[ivf-pq/{regime}] probe={n_probe} refine={refine} "
+            f"recall@{K}={recall:.3f} (plain IVF {plain_recall:.3f}) "
+            f"scanned~{frac:.1%} (codes-only; floats only for {refine}/query)",
+            flush=True,
+        )
+    corpus.unpersist()
+    return out
+
+
 def main():
     from llacie_spark.session import get_spark
 
@@ -140,27 +186,35 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     ivf_only = "--ivf-only" in sys.argv
-    if not ivf_only:
+    pq_only = "--ivf-pq-only" in sys.argv
+    if not ivf_only and not pq_only:
         planted, pq_queries = planted_corpus(spark)
         near = measure(spark, pq_queries, planted, dim=64, regime="near-dup")
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     dim = len(emb.select("embedding").first()[0])
     queries = emb.orderBy("vec_id").limit(N_QUERIES)
-    if not ivf_only:
+    if not ivf_only and not pq_only:
         mid = measure(spark, queries, emb, dim=dim, regime="mid-cos")
-    mid_ivf = measure_ivf(spark, queries, emb, dim=dim, regime="mid-cos")
+    if not pq_only:
+        mid_ivf = measure_ivf(spark, queries, emb, dim=dim, regime="mid-cos")
+    mid_pq = measure_ivf_pq(spark, queries, emb, dim=dim, regime="mid-cos")
 
-    if not ivf_only:
+    if not ivf_only and not pq_only:
         print("\n| regime | n_planes | n_tables | recall@10 | corpus scanned/query |")
         print("|---|---|---|---|---|")
         for regime, rows in (("near-dup (planted, cos>=0.95)", near), ("mid-cosine (sf0.01)", mid)):
             for p, t, r, f in rows:
                 print(f"| {regime} | {p} | {t} | {r:.3f} | {f:.2%} |")
-    print("\n| regime | n_centroids | n_probe | recall@10 | corpus scanned/query |")
-    print("|---|---|---|---|---|")
-    for c, p, r, f in mid_ivf:
-        print(f"| mid-cosine IVF (sf0.01) | {c} | {p} | {r:.3f} | ~{f:.1%} |")
+    if not pq_only:
+        print("\n| regime | n_centroids | n_probe | recall@10 | corpus scanned/query |")
+        print("|---|---|---|---|---|")
+        for c, p, r, f in mid_ivf:
+            print(f"| mid-cosine IVF (sf0.01) | {c} | {p} | {r:.3f} | ~{f:.1%} |")
+    print("\n| regime | n_probe | refine | IVF-PQ recall@10 | plain-IVF recall@10 | scanned (codes) |")
+    print("|---|---|---|---|---|---|")
+    for p, rf, r, pr, f in mid_pq:
+        print(f"| mid-cosine IVF-PQ m=8 (sf0.01) | {p} | {rf} | {r:.3f} | {pr:.3f} | ~{f:.1%} |")
     spark.stop()
 
 

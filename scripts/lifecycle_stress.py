@@ -286,10 +286,12 @@ Cost split across the incremental invocations (in-job wall
 maintenance {sh["maintenance_s"]} s — together
 {round(100 * upkeep / max(sh["total_incremental_wall_s"], 0.01), 1)}% of wall;
 work discovery {sh["discover_s"]} s; batch-scoped derive {sh["derive_s"]} s
-(each batch's 250k episodes, NOT the full table — r5 re-derived the whole
-graph every invocation); final export {sh["export_s"]} s (once, by design).
+(each batch's {r["total_docs"] // r["n_batches"]:,} episodes, NOT the full
+table — r5 re-derived the whole graph every invocation); final export
+{sh["export_s"]} s (once, by design).
 
-Honest notes: the SIGKILL lands mid-extraction of a 250k-doc batch, so its
+Honest notes: the SIGKILL lands mid-extraction of a
+{r["total_docs"] // r["n_batches"]:,}-doc batch, so its
 `resumed_docs` on the following invocation shows the dead batch re-counted
 in full — torn snapshot directories are invisible to readers and reclaimed
 by vacuum's grace window later; a crash AFTER the extraction commit would
