@@ -52,11 +52,11 @@ KG_DOCS_PER_SF = 400_000  # synthetic corpus rows = sf * this (min 1000)
 # pipeline's own per-doc work under plain multiprocessing — no Spark.
 # Stamped with the host it was measured on; --scaling re-probes the cheap
 # register-only twin at bench time and warns if the host has drifted.
-HOST_CEILING_8V32 = 0.751
+HOST_CEILING_8V32 = 0.736
 HOST_CEILING_STAMP = {
-    "measured": "2026-08-16",
+    "measured": "2026-08-17",
     "cpus": 32,
-    "register_probe_8v32": 0.757,  # corroborating register-only number
+    "register_probe_8v32": 0.828,  # corroborating register-only number
 }
 
 # a timed run with hypervisor steal above this is recorded but never selected
@@ -518,6 +518,30 @@ def _write_baseline_md(r: dict) -> None:
         f"| {d[c]['all_timed']} | {d[c].get('steal_pct', '—')} |"
         for c in sorted(d)
     )
+    # honesty note: a level whose SELECTED (fastest) run still carried steal
+    # at/above the headline gate was measured under load — say so, and say
+    # which direction that biases the pair (a slowed LOW level inflates the
+    # pair's efficiency; a slowed HIGH level deflates it).
+    noisy = []
+    for c in sorted(d):
+        timed, steals = d[c]["all_timed"], d[c].get("steal_pct")
+        if steals:
+            s_best = min(s for t, s in zip(timed, steals) if t == min(timed))
+            if s_best >= STEAL_OK_PCT:
+                noisy.append((c, s_best))
+    noisy_note = (
+        "\n".join(
+            f"**Noisy selected run**: local[{c}]'s fastest run still carried "
+            f"{s}% steal (>= the {STEAL_OK_PCT}% headline gate) — its wall is "
+            "an overestimate, so pairs using it as the LOW level are "
+            "flattered and pairs using it as the HIGH level are understated; "
+            "read the pair against the other pair and prior-round walls "
+            "before quoting it."
+            for c, s in noisy
+        )
+        or "Every level's selected run is below the "
+        f"{STEAL_OK_PCT}% steal gate."
+    )
     (out / "BASELINE.md").write_text(
         f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
@@ -545,6 +569,8 @@ steal is reported but never selected.)
 |---|---|
 | N=4 vs 4N=16 | **{r["pairs"]["4v16"]}** |
 | N=8 vs 4N=32 | **{r["pairs"]["8v32"]}** (normalized to host ceiling: **{r["pairs"]["8v32_normalized"]}**) |
+
+{noisy_note}
 
 Host ceiling (measured, `scripts/host_ceiling.py`): running the pipeline's
 EXACT per-document Python work (section regex -> gazetteer scorer -> concept

@@ -155,6 +155,7 @@ def stream_upsert(
     key: str | list[str],
     checkpoint: str,
     allow_new_columns: bool = False,
+    merge_on_read: bool = False,
 ) -> None:
     """Drain the stream into the snapshot catalog via per-batch keyed upsert
     — the streaming form of the S6 keyed sink.
@@ -170,7 +171,13 @@ def stream_upsert(
     a stream whose source grew a column (a NEW readStream over the widened
     source — a running stream's schema is fixed at creation) evolves the
     table on its first drained batch, and rows from pre-evolution
-    micro-batches read the new column as NULL (VERDICT r5 #7)."""
+    micro-batches read the new column as NULL (VERDICT r5 #7).
+
+    ``merge_on_read`` lands each micro-batch as per-bucket delta files
+    instead of rewriting touched buckets — the streaming sink is the
+    archetypal uniform-small-batch writer for which CoW rewrite
+    amplification is worst (BENCH/MOR_SCALING.md); deltas fold back in the
+    table's normal maintenance slot (``compact``/``maybe_split``)."""
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -178,6 +185,7 @@ def stream_upsert(
         catalog.upsert(
             batch_df.sparkSession, batch_df, name, key,
             allow_new_columns=allow_new_columns,
+            merge_on_read=merge_on_read,
         )
 
     q = (

@@ -1,6 +1,9 @@
 """Streaming ingest: file-source stream -> fused extraction -> triples sink,
 with checkpoint resume; watermarked window aggregation."""
 
+import glob
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -214,3 +217,46 @@ def test_stream_upsert_schema_evolution_composes(spark, vocab, tmp_path):
     tags = {r.doc_id: r.model_tag for r in out.select("doc_id", "model_tag").collect()}
     assert all(v is None for d, v in tags.items() if d <= "doc-000050")
     assert all(v == "gaz-2.0" for d, v in tags.items() if d > "doc-000050")
+
+
+def test_stream_upsert_merge_on_read_composes(spark, vocab, tmp_path):
+    """Streaming sink × merge-on-read: micro-batches are the archetypal
+    uniform-small-batch writer CoW punishes (BENCH/MOR_SCALING.md), so the
+    sink can land each drained batch as per-bucket deltas. The contract:
+    post-drain reads are exact (keyed replace, no dupes), base files are
+    untouched by the delta drain, and maintenance compaction folds the
+    accumulated generations without changing the answer."""
+    from llacie_spark.corpus import reference_documents
+    from llacie_spark.io import SnapshotCatalog
+    from llacie_spark.streaming import stream_documents, stream_extracted, stream_upsert
+
+    src = tmp_path / "in"
+    chk = str(tmp_path / "chk")
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    docs = reference_documents(spark).cache()
+
+    # epoch 1 creates the table (first touch writes base, MoR or not)
+    docs.where("doc_id <= 'doc-000050'").write.mode("append").parquet(str(src))
+    extracted = stream_extracted(stream_documents(spark, str(src)), vocab)
+    stream_upsert(extracted, cat, "extracted", "doc_id", chk, merge_on_read=True)
+    assert cat.read_stage(spark, "extracted").count() == 50
+    base_files = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(str(tmp_path / "cat" / "extracted" / "snap-*" / "**" / "*.parquet"), recursive=True)
+    }
+
+    # epoch 2 drains as deltas: base files byte-untouched, read exact
+    docs.where("doc_id > 'doc-000050'").write.mode("append").parquet(str(src))
+    stream_upsert(extracted, cat, "extracted", "doc_id", chk, merge_on_read=True)
+    cur = cat.current_snapshot("extracted")
+    assert cat._delta_map(cur), "second drain should have landed as deltas"
+    for p, mtime in base_files.items():
+        assert os.path.getmtime(p) == mtime, f"base file rewritten: {p}"
+    out = cat.read_stage(spark, "extracted")
+    assert out.count() == docs.count()
+    assert out.groupBy("doc_id").count().where("count > 1").count() == 0
+
+    # maintenance folds the generations; the answer is unchanged
+    cat.compact(spark, "extracted")
+    assert not cat._delta_map(cat.current_snapshot("extracted"))
+    assert cat.read_stage(spark, "extracted").count() == docs.count()
