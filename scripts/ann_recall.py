@@ -26,7 +26,8 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF_DIR = _pos[0] if _pos else "/root/testdata/sf0.01"
 K = 10
 N_QUERIES = 50
 SETTINGS = [(8, 1), (8, 4), (8, 8), (12, 8), (16, 16)]
