@@ -290,6 +290,16 @@ work discovery {sh["discover_s"]} s; batch-scoped derive {sh["derive_s"]} s
 table — r5 re-derived the whole graph every invocation); final export
 {sh["export_s"]} s (once, by design).
 
+Reading the maintenance share: the per-batch WRITE path (extract + MoR
+upsert + batch-scoped derive) is the part that must be O(batch), and it is
+— roughly flat per invocation in the table above. Maintenance (delta
+compaction + bucket splits + vacuum) is the AMORTIZABLE part: at the
+sandbox-scale {r["split_target_mb"]} MB target every batch overflows every
+base bucket, so splits and compaction fire on all of them every invocation
+— the worst case by construction. At a production 256 MB target the same
+work fires ~16x less often, and it runs in the maintenance slot (Iceberg's
+`rewrite_data_files` job), not on the ingest critical path.
+
 Honest notes: the SIGKILL lands mid-extraction of a
 {r["total_docs"] // r["n_batches"]:,}-doc batch, so its
 `resumed_docs` on the following invocation shows the dead batch re-counted
