@@ -205,6 +205,55 @@ def test_parallel_upserts_with_retries_all_land(spark, tmp_path):
     assert cat.current_snapshot("t")["snapshot"] >= 4
 
 
+def test_parallel_mor_upserts_all_deltas_land(spark, tmp_path):
+    """CAS × merge-on-read: four threads land disjoint batches as DELTA
+    commits simultaneously. The delta path mutates a different manifest
+    section (per-bucket delta lists, not base pointers), so this pins that
+    the retry loop re-reads and re-appends against the WINNER's delta
+    lists — a lost-update there would drop a whole batch's deltas while
+    still reporting success."""
+    import threading
+
+    cat = SnapshotCatalog(str(tmp_path))
+    base = spark.range(0, 100).withColumn("v", F.lit("base"))
+    cat.write_stage(base, "t", bucket_key="id", n_buckets=8)
+
+    errors = []
+
+    def writer(tag: int):
+        batch = spark.createDataFrame(
+            [(tag * 10 + j, f"w{tag}") for j in range(3)],  # overwrite base keys
+            "id long, v string",
+        )
+        try:
+            cat.upsert(
+                spark, batch, "t", "id", merge_on_read=True, commit_retries=16
+            )
+        except Exception as e:
+            errors.append((tag, repr(e)))
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+
+    got = _rows(cat, spark)
+    assert len(got) == 100  # keyed replace: no new keys, no lost rows
+    for tag in range(4):
+        assert all(got[tag * 10 + j] == f"w{tag}" for j in range(3))
+    assert got[99] == "base"
+    cur = cat.current_snapshot("t")
+    # every writer's deltas survived the CAS races (no lost-update): the
+    # manifest carries all four commits' delta generations
+    n_deltas = sum(len(v) for v in (cur.get("deltas") or {}).values())
+    assert n_deltas >= 4
+    # and compaction folds the contested generations back to one truth
+    cat.compact(spark, "t")
+    assert _rows(cat, spark) == got
+
+
 def test_drop_columns_metadata_only(spark, tmp_path):
     """Iceberg ALTER TABLE DROP COLUMN semantics (ADVICE r5 note_text
     migration): the drop rewrites NO data files — only the manifest schema

@@ -251,6 +251,36 @@ def test_maintenance_compacts_and_preserves(spark, world):
     _assert_matches_full(cat, spark, meta)
 
 
+def test_split_between_batches_preserves_derivation(spark, world):
+    """Mid-sequence layout migration: between two derive batches BOTH the
+    staged table and the edges table split buckets (extendible hashing).
+    derive_batch's bucket-pruned stage read and its metric-bucket
+    leaf-refinement (leaf b at modulus m belongs to base bucket b % base)
+    must keep working across the finer layout — a broken alignment here
+    silently recomputes metrics for the wrong buckets or misses staged
+    docs, which no single-layout test can catch."""
+    cat, b1, b2, meta = world
+    _stage(cat, spark, b1)
+    derive_batch(spark, cat, _ids(b1), meta, n_buckets=N_BUCKETS)
+    _assert_matches_full(cat, spark, meta)
+
+    # migrate: split every base bucket of the stage table and every
+    # populated base bucket of the edges table (consumes pending deltas)
+    cat.split_buckets(spark, "extracted", [0, 1, 2, 3])
+    edge_bases = sorted(
+        {b % N_BUCKETS for b, _m in cat._leaf_entries(cat.current_snapshot(EDGES))}
+    )
+    cat.split_buckets(spark, EDGES, edge_bases)
+    assert cat.current_snapshot(EDGES)["bucket_mods"]  # finer layout live
+
+    _stage(cat, spark, b2)
+    derive_batch(spark, cat, _ids(b2), meta, n_buckets=N_BUCKETS)
+    _assert_matches_full(cat, spark, meta)
+    e2 = _edges_set(cat, spark)
+    assert ("episode:1", "concept:chills", 7) in e2   # displacement survived
+    assert not any(s == "episode:2" for s, _o, _l in e2)  # retraction survived
+
+
 def test_export_matches_materialize_layout(spark, world, tmp_path):
     cat, b1, b2, meta = world
     _stage(cat, spark, b1)
