@@ -45,7 +45,12 @@ N_BATCHES = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 KILL_BATCH = 3          # 1-based: this batch's process gets SIGKILL'd
 # mid-extraction (session startup is ~15 s); env-tunable for small smokes
 KILL_AFTER_S = float(os.environ.get("LIFECYCLE_KILL_AFTER", "35.0"))
-SPLIT_TARGET_MB = 16    # sandbox-scale so maybe_split actually fires at 1M rows
+# 16 MB default = sandbox-scale so maybe_split actually fires at 1M rows;
+# override (e.g. 1024) to measure the production regime where splits
+# amortize away and maintenance is compaction+vacuum only
+SPLIT_TARGET_MB = int(os.environ.get("LIFECYCLE_SPLIT_TARGET_MB", "16"))
+# variant runs can write their artifact beside the primary one
+MD_NAME = os.environ.get("LIFECYCLE_MD_NAME", "LIFECYCLE.md")
 
 ENV = {
     **os.environ,
@@ -248,7 +253,7 @@ def _write_md(r: dict) -> None:
             )
     sh = r["phase_share"]
     upkeep = sh["extract_upsert_s"] + sh["maintenance_s"]
-    (out / "LIFECYCLE.md").write_text(
+    (out / MD_NAME).write_text(
         f"""# BENCH/LIFECYCLE — composed incremental lifecycle at {r["total_docs"]:,} docs
 
 {r["total_docs"]:,} synthetic docs arriving in {r["n_batches"]} batches through
