@@ -79,6 +79,10 @@ def main(argv: list[str]) -> None:
         "compact in the --stage-maintenance slot",
     )
     args = p.parse_args(argv)
+    if args.incremental_derive and not args.stage_root:
+        # silently falling through to the full-derivation path would never
+        # create the catalog graph tables a later --stage-root run expects
+        p.error("--incremental-derive needs --stage-root")
 
     from pyspark.sql import SparkSession
 
@@ -215,12 +219,29 @@ def main(argv: list[str]) -> None:
             # entries that were read
             pending, consumed = read_pending(spark, args.stage_root)
             if pending is not None:
+                # only retire the log when THIS run's doc→episode map covers
+                # every outstanding id: a run invoked with a smaller --docs
+                # (or a different corpus) than the crashed run that logged
+                # them would otherwise derive nothing for the uncovered ids
+                # and still delete their only re-derivation record
+                n_uncovered = pending.join(
+                    meta.select("doc_id"), "doc_id", "left_anti"
+                ).count()
                 dstats = derive_batch(
                     spark, cat, pending, meta,
                     n_buckets=args.buckets,
                     argmin_strategy=args.argmin_strategy,
                 )
-                clear_pending(consumed)
+                if n_uncovered:
+                    print(
+                        f"WARNING: {n_uncovered} pending-derive doc ids not "
+                        "covered by this run's doc metadata — keeping the "
+                        "pending log for a later run that covers them "
+                        "(derivation is idempotent)",
+                        file=sys.stderr,
+                    )
+                else:
+                    clear_pending(consumed)
             else:
                 dstats = {
                     "episodes": 0, "edges": 0, "retracted": 0,
@@ -234,7 +255,10 @@ def main(argv: list[str]) -> None:
             stats = dict(dstats)
             if not args.no_export:
                 t = time.time()
-                stats.update(export_graph(spark, cat, args.out))
+                # namespaced: dstats["edges"] counts THIS batch's edges,
+                # the export counts the whole table — same key, different
+                # meanings, so they must not collide in the JSON
+                stats["export"] = export_graph(spark, cat, args.out)
                 phases["export_s"] = round(time.time() - t, 2)
             stats["wall_s"] = round(time.time() - t0, 2)
             stats["phases"] = phases

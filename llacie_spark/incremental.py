@@ -105,12 +105,20 @@ def derive_batch(
     # episodes whose recomputation produced NO triples: their previously
     # committed edges (if any) must be retracted — equality-delete
     # tombstones, O(keys) write (llacie analog: the DELETE half of its
-    # per-note DELETE-then-INSERT, db.py:650-665)
-    retracted = (
-        eps.select(_episode_subj().alias("subj"))
-        .join(new_edges.select("subj").distinct(), "subj", "left_anti")
-        .persist()
+    # per-note DELETE-then-INSERT, db.py:650-665). Restricted to subjects
+    # ACTUALLY PRESENT in the committed table: a first-seen zero-triple
+    # episode has nothing to retract, and a no-op tombstone would still
+    # cost every later read of its bucket a delta generation until
+    # compaction.
+    zero_eps = eps.select(_episode_subj().alias("subj")).join(
+        new_edges.select("subj").distinct(), "subj", "left_anti"
     )
+    committed = cat.read_stage_pruned(spark, EDGES, keys_df=zero_eps)
+    retracted = (
+        zero_eps.join(committed.select("subj").distinct(), "subj", "semi")
+        if committed is not None
+        else zero_eps.limit(0)
+    ).persist()
     try:
         n_new = new_edges.count()
         cur = cat.current_snapshot(EDGES)
@@ -167,13 +175,10 @@ def derive_batch(
         new_edges.unpersist()
         retracted.unpersist()
     n_metric_buckets = 0
-    cur = cat.current_snapshot(EDGES)
-    if touched_g and cur is not None and cur.get("bucket_key"):
-        leaves = [
-            (b, m)
-            for b, m in cat._leaf_entries(cur)
-            if b % cur["n_buckets"] in touched_g
-        ]
+    if touched_g and cat.current_snapshot(EDGES) is not None:
+        # catalog base == graph n_buckets (asserted above), so the catalog
+        # owns the leaf↔base-bucket arithmetic
+        leaves = cat.leaves_for_base_buckets(EDGES, touched_g)
         bucket_rows = (
             cat.read_stage_pruned(spark, EDGES, leaves=leaves)
             if leaves
@@ -294,10 +299,13 @@ def maintain_graph(
     target_bucket_bytes: int = 256 << 20,
     compact_min_deltas: int = 4,
     vacuum_older_than_s: float = 600,
+    commit_retries: int = 4,
 ) -> dict:
     """The graph tables' maintenance slot: compact accumulated MoR deltas /
     tombstones, split overgrown buckets, expire dead snapshots — same
-    service an Iceberg table-maintenance job provides."""
+    service an Iceberg table-maintenance job provides. ``commit_retries``
+    defaults on: maintenance runs beside the very writers whose deltas it
+    folds, so losing a CAS to one of them must retry, not crash the job."""
     out = {}
     for name in (EDGES, EPISODE_NODES, CONCEPT_NODES, EDGE_METRICS):
         if cat.current_snapshot(name) is None:
@@ -305,6 +313,7 @@ def maintain_graph(
         split = cat.maybe_split(
             spark, name, target_bucket_bytes=target_bucket_bytes,
             compact_min_deltas=compact_min_deltas,
+            commit_retries=commit_retries,
         )
         expired = cat.vacuum(name, older_than_s=vacuum_older_than_s)
         out[name] = {"split": split, "expired": len(expired)}
@@ -331,8 +340,21 @@ def export_graph(spark: SparkSession, cat: SnapshotCatalog, out_dir: str) -> dic
     ep = cat.read_stage(spark, EPISODE_NODES)
     cn = cat.read_stage(spark, CONCEPT_NODES)
     nodes = ep if cn is None else (cn if ep is None else ep.unionByName(cn))
-    nodes.write.mode("overwrite").parquet(f"{out_dir}/nodes")
     metrics = cat.read_stage(spark, EDGE_METRICS)
+    if nodes is None or metrics is None:
+        # a derive_batch crash between its table commits can leave edges
+        # committed but nodes/metrics absent; the pending-derive log will
+        # re-derive them — exporting now would write a torn graph
+        missing = [
+            n for n, df in ((EPISODE_NODES, nodes), (EDGE_METRICS, metrics))
+            if df is None
+        ]
+        raise ValueError(
+            f"export_graph: edges committed but {missing} missing — a "
+            "derivation is incomplete; re-run the incremental derive (the "
+            "pending log re-covers it) before exporting"
+        )
+    nodes.write.mode("overwrite").parquet(f"{out_dir}/nodes")
     metrics.write.mode("overwrite").parquet(f"{out_dir}/metrics")
     return {
         "nodes": spark.read.parquet(f"{out_dir}/nodes").count(),

@@ -168,14 +168,33 @@ class SnapshotCatalog:
             # this writer's reserved-but-uncommitted directory as an orphan
             # AFTER its bucket files were written but BEFORE this commit;
             # committing anyway would point the manifest at deleted files.
-            # vacuum deletes under this same flock, so the check is
-            # race-free: either the dir is gone (raise, retry redoes the
-            # work) or the commit lands before vacuum can see it unreferenced
-            # (ADVICE r5).
-            if not (p.parent / f"snap-{snap_id}").is_dir():
+            # vacuum deletes under this same flock; verify not just the top
+            # dir (a late task rename can recreate it around an in-flight
+            # rmtree) but EVERY entry this manifest points at inside the new
+            # snapshot — a missing one means vacuum won the race for that
+            # bucket (raise, retry redoes the work). A vacuum that interleaves
+            # file-by-file with task renames inside a surviving dir is still
+            # theoretically unverifiable here, which is why concurrent-writer
+            # deployments MUST give vacuum a grace window (older_than_s);
+            # Iceberg's remove_orphan_files carries the same requirement.
+            snap_name = f"snap-{snap_id}"
+            refs = [
+                k for k, s in (meta.get("buckets") or {}).items()
+                if s == snap_name
+            ]
+            for k, legs in (meta.get("deltas") or {}).items():
+                for d in legs:
+                    if self._delta_snap(d)[0] == snap_name:
+                        refs.append(k)
+            missing = [
+                k for k in refs
+                if not self._entry_path(name, snap_name, k).is_dir()
+            ]
+            if missing or not (p.parent / snap_name).is_dir():
                 raise CommitConflict(
-                    f"table {name!r}: snapshot dir snap-{snap_id} vanished "
-                    "before commit — a concurrent vacuum reclaimed it as an "
+                    f"table {name!r}: snapshot dir {snap_name} entries "
+                    f"{missing or 'all'} vanished before commit — a "
+                    "concurrent vacuum reclaimed the reserved dir as an "
                     "orphan; re-run the operation (or give vacuum a grace "
                     "window via older_than_s when writers are concurrent)"
                 )
@@ -410,6 +429,25 @@ class SnapshotCatalog:
             seen.add(self._entry_bucket_mod(canon, base))
         return sorted(seen)
 
+    def leaves_for_base_buckets(
+        self, name: str, base_ids: set[int] | list[int]
+    ) -> list[tuple[int, int]]:
+        """The (bucket, modulus) leaves whose BASE bucket is in ``base_ids``
+        — the public face of the split-refinement invariant (a leaf b at
+        modulus base·2^k refines base bucket b % base), so consumers that
+        think in base buckets (e.g. incremental metric recompute keyed by
+        ``pmod(xxhash64(key), n_buckets)``) never re-derive the layout
+        arithmetic themselves. Feed the result to
+        :meth:`read_stage_pruned`'s ``leaves``."""
+        cur = self.current_snapshot(name)
+        if cur is None or not cur.get("bucket_key"):
+            return []
+        base = cur["n_buckets"]
+        wanted = {int(b) for b in base_ids}
+        return [
+            (b, m) for b, m in self._leaf_entries(cur) if b % base in wanted
+        ]
+
     def _read_entries(
         self,
         spark: SparkSession,
@@ -462,6 +500,30 @@ class SnapshotCatalog:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    @staticmethod
+    def _check_key_dtypes(
+        pairs: list[list[str]],
+        keys_df: DataFrame,
+        keys: list[str],
+        name: str,
+        op: str,
+    ) -> None:
+        """Shared guard for every key-addressed operation: a dtype-drifted
+        key hashes into DIFFERENT buckets, so a pruned read silently misses
+        the rows being looked for and a tombstone lands beside rows it can
+        never match."""
+        want = {c: t for c, t in pairs}
+        got = dict(keys_df.dtypes)
+        drift = {k: (want[k], got.get(k)) for k in keys if got.get(k) != want[k]}
+        if drift:
+            raise ValueError(
+                f"{op} key dtype drift for {name!r}: "
+                + ", ".join(
+                    f"{k}: table={w} keys_df={g}"
+                    for k, (w, g) in sorted(drift.items())
+                )
+            )
 
     @staticmethod
     def _schema_pairs(cur: dict) -> list[list[str]] | None:
@@ -592,23 +654,10 @@ class SnapshotCatalog:
                 raise ValueError("read_stage_pruned needs keys_df or leaves")
             pairs = self._schema_pairs(cur)
             if pairs is not None:
-                # a dtype-drifted key would hash into DIFFERENT buckets and
-                # silently prune away the rows being looked for
-                want = {c: t for c, t in pairs}
-                got = dict(keys_df.dtypes)
-                drift = {
-                    k: (want[k], got.get(k))
-                    for k in cur["bucket_key"]
-                    if got.get(k) != want[k]
-                }
-                if drift:
-                    raise ValueError(
-                        f"read_stage_pruned key dtype drift for {name!r}: "
-                        + ", ".join(
-                            f"{k}: table={w} keys_df={g}"
-                            for k, (w, g) in sorted(drift.items())
-                        )
-                    )
+                self._check_key_dtypes(
+                    pairs, keys_df, list(cur["bucket_key"]),
+                    name, "read_stage_pruned",
+                )
             base = cur["n_buckets"]
             bucket_mods = {
                 int(k): int(v) for k, v in (cur.get("bucket_mods") or {}).items()
@@ -831,19 +880,7 @@ class SnapshotCatalog:
             if not sample:
                 return cur  # nothing committed, nothing to delete
             pairs = [[c, t] for c, t in spark.read.parquet(sample[0]).dtypes]
-        want = {c: t for c, t in pairs}
-        got = dict(keys_df.dtypes)
-        drift = {k: (want[k], got.get(k)) for k in keys if got.get(k) != want[k]}
-        if drift:
-            # a dtype-drifted key hashes into DIFFERENT buckets: the
-            # tombstone would land beside rows it can never match
-            raise ValueError(
-                f"delete_keys key dtype drift for {name!r}: "
-                + ", ".join(
-                    f"{k}: table={w} keys_df={g}"
-                    for k, (w, g) in sorted(drift.items())
-                )
-            )
+        self._check_key_dtypes(pairs, keys_df, keys, name, "delete_keys")
         kdf = keys_df.select(*keys).distinct().persist()
         try:
             mod, bucket = self._assignment_exprs(keys, base, bucket_mods)
@@ -1146,7 +1183,11 @@ class SnapshotCatalog:
         return self.current_snapshot(name)
 
     def compact(
-        self, spark: SparkSession, name: str, min_deltas: int = 1
+        self,
+        spark: SparkSession,
+        name: str,
+        min_deltas: int = 1,
+        commit_retries: int = 0,
     ) -> list[str]:
         """Fold merge-on-read deltas back into base files — Iceberg's
         ``rewrite_data_files`` maintenance. Every bucket carrying at least
@@ -1160,7 +1201,24 @@ class SnapshotCatalog:
         per-key window over un-compacted generations; compaction (amortized,
         in the maintenance slot alongside vacuum/maybe_split) bounds that
         read tax. Write amplification moves from every-batch (CoW) to
-        once-per-``min_deltas``-batches."""
+        once-per-``min_deltas``-batches.
+
+        ``commit_retries``: maintenance runs CONCURRENTLY with the delta
+        writers it serves (a streaming sink's micro-batches, parallel MoR
+        upserts), so its CAS commit can lose to one of them; a retry
+        re-reads the manifest and folds whatever generations now exist —
+        the loser's work is wasted but nothing is lost (Iceberg's
+        ``rewrite_data_files`` retries the same way)."""
+        for attempt in range(commit_retries + 1):
+            try:
+                return self._compact_once(spark, name, min_deltas)
+            except CommitConflict:
+                if attempt == commit_retries:
+                    raise
+
+    def _compact_once(
+        self, spark: SparkSession, name: str, min_deltas: int
+    ) -> list[str]:
         cur = self.current_snapshot(name)
         if not cur or not cur.get("bucket_key"):
             return []
@@ -1224,6 +1282,7 @@ class SnapshotCatalog:
         target_bucket_bytes: int = 256 << 20,
         factor: int = 2,
         compact_min_deltas: int = 4,
+        commit_retries: int = 0,
     ) -> list[int]:
         """The split-decision loop: find base buckets whose on-disk leaf
         total exceeds ``2 * target_bucket_bytes`` and split them ``factor``-
@@ -1240,7 +1299,10 @@ class SnapshotCatalog:
         if not cur or not cur.get("bucket_key"):
             return []
         if compact_min_deltas and self._delta_map(cur):
-            self.compact(spark, name, min_deltas=compact_min_deltas)
+            self.compact(
+                spark, name, min_deltas=compact_min_deltas,
+                commit_retries=commit_retries,
+            )
             cur = self.current_snapshot(name)
         base = cur["n_buckets"]
         per_base: dict[int, int] = {}

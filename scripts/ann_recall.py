@@ -199,7 +199,11 @@ def main():
         mid = measure(spark, queries, emb, dim=dim, regime="mid-cos")
     if not pq_only:
         mid_ivf = measure_ivf(spark, queries, emb, dim=dim, regime="mid-cos")
-    mid_pq = measure_ivf_pq(spark, queries, emb, dim=dim, regime="mid-cos")
+    # --ivf-only keeps its historical meaning (plain IVF grid only); the PQ
+    # sweep runs in the default full pass or under --ivf-pq-only
+    mid_pq = None if ivf_only else measure_ivf_pq(
+        spark, queries, emb, dim=dim, regime="mid-cos"
+    )
 
     if not ivf_only and not pq_only:
         print("\n| regime | n_planes | n_tables | recall@10 | corpus scanned/query |")
@@ -212,10 +216,11 @@ def main():
         print("|---|---|---|---|---|")
         for c, p, r, f in mid_ivf:
             print(f"| mid-cosine IVF (sf0.01) | {c} | {p} | {r:.3f} | ~{f:.1%} |")
-    print("\n| regime | n_probe | refine | IVF-PQ recall@10 | plain-IVF recall@10 | scanned (codes) |")
-    print("|---|---|---|---|---|---|")
-    for p, rf, r, pr, f in mid_pq:
-        print(f"| mid-cosine IVF-PQ m=8 (sf0.01) | {p} | {rf} | {r:.3f} | {pr:.3f} | ~{f:.1%} |")
+    if mid_pq is not None:
+        print("\n| regime | n_probe | refine | IVF-PQ recall@10 | plain-IVF recall@10 | scanned (codes) |")
+        print("|---|---|---|---|---|---|")
+        for p, rf, r, pr, f in mid_pq:
+            print(f"| mid-cosine IVF-PQ m=8 (sf0.01) | {p} | {rf} | {r:.3f} | {pr:.3f} | ~{f:.1%} |")
     spark.stop()
 
 

@@ -481,3 +481,39 @@ def test_read_stage_pruned_flat_table_falls_back_to_full(spark, tmp_path):
         spark, "t", keys_df=spark.createDataFrame([(1,)], "id long")
     )
     assert df.count() == 10  # flat layout: no pruning possible, full read
+
+
+def test_compact_retries_past_concurrent_delta_commit(spark, tmp_path):
+    """Maintenance runs beside the delta writers it serves: a micro-batch
+    committing between compact's manifest read and its CAS publish must
+    cost a retry, not crash the maintenance job — and the retry must fold
+    the interloper's generation too (it re-reads the manifest)."""
+    from llacie_spark.io import CommitConflict
+
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write_stage(
+        spark.range(0, 100).withColumn("v", F.lit("base")),
+        "t", bucket_key="id", n_buckets=4,
+    )
+    cat.upsert(
+        spark, spark.range(0, 100, 7).withColumn("v", F.lit("d1")),
+        "t", "id", merge_on_read=True,
+    )
+    interloper = spark.range(1, 100, 7).withColumn("v", F.lit("d2"))
+    cat._commit_hook = lambda: cat.upsert(
+        spark, interloper, "t", "id", merge_on_read=True
+    )
+    with pytest.raises(CommitConflict):
+        cat.compact(spark, "t")  # no retries: the conflict surfaces
+
+    # hook consumed itself; re-arm and retry-compact
+    cat._commit_hook = lambda: cat.upsert(
+        spark, interloper, "t", "id", merge_on_read=True
+    )
+    compacted = cat.compact(spark, "t", commit_retries=2)
+    assert compacted
+    cur = cat.current_snapshot("t")
+    assert not cur.get("deltas")  # the retry folded BOTH generations
+    rows = dict(_sorted_rows(cat, spark))
+    assert len(rows) == 100
+    assert rows[0] == "d1" and rows[1] == "d2" and rows[2] == "base"

@@ -251,6 +251,34 @@ def test_maintenance_compacts_and_preserves(spark, world):
     _assert_matches_full(cat, spark, meta)
 
 
+def test_first_seen_zero_triple_episode_writes_no_tombstone(spark, world):
+    """A NEW episode whose first derivation yields zero triples has nothing
+    committed to retract — it must not write a tombstone delta (every later
+    read of its bucket would pay a no-op generation until compaction)."""
+    cat, b1, _b2, meta = world
+    _stage(cat, spark, b1)
+    derive_batch(spark, cat, _ids(b1), meta, n_buckets=N_BUCKETS)
+    deltas_before = dict(
+        (cat.current_snapshot(EDGES) or {}).get("deltas") or {}
+    )
+
+    # a brand-new episode (99) arrives with zero matches
+    new_doc = spark.createDataFrame([_doc("d99", [])], STAGE_SCHEMA)
+    new_meta = meta.unionByName(
+        spark.createDataFrame([_meta("d99", 99, 5)], META_SCHEMA)
+    )
+    _stage(cat, spark, new_doc)
+    stats = derive_batch(spark, cat, _ids(new_doc), new_meta, n_buckets=N_BUCKETS)
+    assert stats == {
+        "episodes": 1, "edges": 0, "retracted": 0, "metric_buckets": 0,
+    }
+    deltas_after = dict(
+        (cat.current_snapshot(EDGES) or {}).get("deltas") or {}
+    )
+    assert deltas_after == deltas_before  # no data delta, no tombstone
+    _assert_matches_full(cat, spark, new_meta)
+
+
 def test_split_between_batches_preserves_derivation(spark, world):
     """Mid-sequence layout migration: between two derive batches BOTH the
     staged table and the edges table split buckets (extendible hashing).

@@ -129,3 +129,49 @@ def test_pre_upgrade_stage_root_with_note_text_migrates(
     cols = [c for c, _t in cat.current_snapshot("extracted")["columns"]]
     assert "note_text" not in cols
     assert cat.read_stage(spark, "extracted").count() == 80
+
+
+def test_pending_log_kept_when_run_cannot_cover_it(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """A run whose doc→episode map does not cover every outstanding
+    pending-derive id must NOT retire the log: the uncovered ids' episodes
+    derived nothing this run, and deleting their only re-derivation record
+    would lose them forever (the crash window the log exists to close)."""
+    import os
+
+    import pyspark.sql as pys
+
+    import jobs.run_kg as job
+    from llacie_spark.incremental import record_pending
+
+    monkeypatch.setattr(pys.SparkSession, "stop", lambda self: None)
+    stage_root = str(tmp_path / "stages")
+    inc = [
+        "--out", str(tmp_path / "graph"),
+        "--stage-root", stage_root,
+        "--stage-buckets", "auto",
+        "--incremental-derive", "--no-export",
+    ]
+
+    def run(docs):
+        job.main(["--docs", str(docs), *inc])
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    run(40)  # normal batch: derives and clears its own log entry
+    pend_root = os.path.join(stage_root, "_pending_derive")
+    assert not os.path.isdir(pend_root) or not os.listdir(pend_root)
+
+    # a crashed bigger run left ids this 40-doc run cannot cover
+    record_pending(
+        spark.createDataFrame(
+            [(f"doc-{i:06d}",) for i in (101, 102)], "doc_id string"
+        ),
+        stage_root,
+    )
+    run(40)
+    assert os.listdir(pend_root), "uncovered pending entries were retired"
+
+    # a later run that covers them derives and retires the log
+    run(120)
+    assert not os.path.isdir(pend_root) or not os.listdir(pend_root)
