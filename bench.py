@@ -625,6 +625,13 @@ all levels move together when it does). Extraction quality is gold-gated
   docs (156-doc tasks were paying per-task Arrow overhead), NOT noise. The
   480k scaling rows are unaffected: the rule resolves to the same partition
   counts there.
+- **BENCH_r06 onward**: the flagship `kg_pipeline` row gets a 6-batch
+  re-arm budget (ordinary rows keep 2) and, when every run of an exhausted
+  budget is dirty, selects the MINIMUM-STEAL run instead of best-of-noisy
+  (`best_steal_pct` stamps the selection either way) — r05's driver
+  artifact shipped `steal_gated: false` best-of-noisy for the headline
+  number. Gated rows remain directly comparable to r04/r05 gated rows;
+  only the ungated-fallback semantics changed.
 - Scaling tables (this file) have been quiet-gated per level since r03 and
   re-measure implausible speedups; r03+ scaling numbers are comparable.
 """
