@@ -28,7 +28,23 @@ DEFAULT_SF = "/root/testdata/sf0.001"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read an sf table, repartitioning up to core count when the file
+    layout under-parallelizes the scan.
+
+    The sf parquet files are single-file, single-row-group (sf1.0
+    documents = 5.9 MB / 1 row group), so the scan — and EVERY narrow
+    stage fused above it (explode, regex, UDF-free projections) — ran as
+    1-2 tasks while 30 cores idled; measured r07: doc_enrich 8.7 s → 1.3 s
+    from this change alone. Guide §2.5 ("input skew: one huge unsplittable
+    file — repartition immediately after the read"). Scale-adaptive: a
+    production table with ≥ cores splits takes the `if` branch never, so
+    nothing changes where the layout is already parallel (guide's rule
+    against local-only constants)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    return df
 
 
 # ---------------------------------------------------------------- flagship
@@ -348,7 +364,11 @@ def _q_simhash_pairs(spark, sf):
 def _q_knn_bruteforce(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.where("vec_id < 10")
-    out = similarity.brute_force_topk(queries, emb, k=10)
+    # dim probe costs one single-row read; it unlocks the unrolled codegen
+    # cosine (bit-identical, ~10x cheaper than the interpreted HOF form)
+    out = similarity.brute_force_topk(
+        queries, emb, k=10, dim=len(emb.select("embedding").first()[0])
+    )
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
@@ -429,11 +449,12 @@ def _q_embed_neardup(spark, sf):
 
 def _q_embed_stats(spark, sf):
     emb = _t(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
     return (
         emb.groupBy(F.col("label").cast("long").alias("label"))
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.round(F.avg(similarity.norm(F.col("embedding"))), 4).alias("avg_norm"),
+            F.round(F.avg(similarity.norm(F.col("embedding"), dim)), 4).alias("avg_norm"),
         )
     )
 

@@ -43,13 +43,32 @@ def stratified_sample(
     unlisted strata get ``default_rate``. Output = input columns +
     ``stratum``; rates are exact in expectation and deterministic in fact.
     """
-    rate = F.lit(float(default_rate))
-    for value, r in sorted(rates.items()):
-        rate = F.when(stratum == value, F.lit(float(r))).otherwise(rate)
+    # The rate lookup is a broadcast join against a tiny (stratum, rate)
+    # table rather than a when-chain folded into the filter predicate. Same
+    # decision per row (equi-match on the stratum value, coalesce to the
+    # default for unlisted/null strata — a null stratum matched no when()
+    # branch before and joins nothing now), but the expensive stratum
+    # expression is evaluated ONCE in a projection instead of re-inlined
+    # into a filter that Catalyst then pushes below any repartition: the r06
+    # plan evaluated the stratum expression 108x per row inside a
+    # single-task scan stage (OPTIMIZATION_r07.md §stratified_sample).
+    spark = df.sparkSession
+    rate_rows = [(value, float(r)) for value, r in sorted(rates.items())]
+    rate_df = F.broadcast(
+        spark.createDataFrame(rate_rows, "stratum string, _rate double")
+    )
     # round, don't truncate: 0.3 * 10000 is 2999.999... in binary floating
     # point, and a cast-to-long threshold of 2999 would systematically
     # under-sample every non-binary-exact rate (ADVICE r2). Any oracle SQL
-    # must mirror the same round() before casting.
-    return df.withColumn("stratum", stratum).where(
-        keep_bucket(F.col(id_col), salt) < F.round(rate * RESOLUTION).cast("long")
+    # must mirror the same round() before casting. The arithmetic below is
+    # identical to the pre-r07 when-chain form: same double rate literal,
+    # same round()*cast in Spark.
+    thresh = F.round(
+        F.coalesce(F.col("_rate"), F.lit(float(default_rate))) * RESOLUTION
+    ).cast("long")
+    return (
+        df.withColumn("stratum", stratum)
+        .join(rate_df, "stratum", "left")
+        .where(keep_bucket(F.col(id_col), salt) < thresh)
+        .select(*df.columns, "stratum")  # using-join moved the key first
     )

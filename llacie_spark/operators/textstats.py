@@ -42,21 +42,44 @@ def char_count(col: str | Column) -> Column:
 
 
 def avg_token_len(col: str | Column) -> Column:
+    # non-whitespace char count == length(regexp_replace(c, '\s+', '')) —
+    # counting is cheaper than building the stripped string (r07: guide §1.2
+    # per-task work), and exactly equal: every \s char is one removed char
     c = F.col(col) if isinstance(col, str) else col
-    return F.length(F.regexp_replace(c, r"\s+", "")) / token_count(c)
+    return (F.length(c) - F.regexp_count(c, F.lit(r"\s"))) / token_count(c)
 
 
 def punct_ratio(col: str | Column) -> Column:
     """Fraction of characters that are not alphanumeric/space."""
+    # NOT regexp_count('[^A-Za-z0-9\s]'): measured 5x slower than the strip
+    # (regexp_count = size(regexp_extract_all(...)), r07 micro-bench 1.57 s
+    # vs 0.29 s at 32-way over sf1.0 documents) — keep the replace form
     c = F.col(col) if isinstance(col, str) else col
     stripped = F.regexp_replace(c, r"[A-Za-z0-9\s]", "")
     return F.length(stripped) / F.greatest(F.length(c), F.lit(1))
 
 
 def stopword_hits(col: str | Column, words: list[str]) -> Column:
-    """Number of tokens that are one of ``words`` (with repetition)."""
-    lit_words = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(tokens(col), lambda t: F.array_contains(lit_words, t)))
+    """Number of tokens that are one of ``words`` (with repetition).
+
+    Implemented as one ``regexp_count`` per word list instead of
+    ``size(filter(split(...)))``: a token of ``split(trim(c), '\\s+')``
+    equals ``w`` exactly when the text contains ``w`` as a maximal
+    non-whitespace run, i.e. one non-overlapping match of
+    ``(^|\\s)w(?=$|\\s)`` (the trailing boundary is a lookahead so adjacent
+    tokens keep their own leading separator). Counts are identical for any
+    input — split's empty-string artifact tokens can never equal a non-empty
+    word — but the regexp form is whole-stage-codegen-friendly (the
+    higher-order ``filter`` is CodegenFallback and was re-evaluated per
+    reference: 108 interpreted evaluations/row in the r06
+    ``stratified_sample`` plan; see OPTIMIZATION_r07.md)."""
+    import re as _re
+
+    words = [w for w in words if w]
+    if not words:
+        return F.lit(0)
+    pat = r"(^|\s)(" + "|".join(_re.escape(w) for w in words) + r")(?=$|\s)"
+    return F.regexp_count(F.col(col) if isinstance(col, str) else col, F.lit(pat))
 
 
 def stopword_ratio(col: str | Column, words: list[str] | None = None) -> Column:
