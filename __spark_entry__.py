@@ -27,22 +27,30 @@ from llacie_spark.operators.porthash import portable_hash60, portable_hash60_sql
 DEFAULT_SF = "/root/testdata/sf0.001"
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read an sf table, repartitioning up to core count when the file
-    layout under-parallelizes the scan.
+# Tables whose queries do heavy per-row work (regex/text expressions, cosine
+# arithmetic, shingle explosion) on the scan output. The sf parquet files are
+# single-file, single-row-group (sf1.0 documents = 5.9 MB / 1 row group), so
+# without a repartition the scan — and EVERY narrow stage fused over it — runs
+# as 1-2 tasks while 30 cores idle (guide §2.5: "one huge unsplittable file —
+# repartition immediately after the read"). Measured r07 at sf1.0:
+# stratified_sample 12.6→0.9 s, doc_enrich 9.1→2.3 s, knn 3.8→1.8 s,
+# simhash 6.8→2.8 s, window_max 0.97→0.79 s. The narrow relational tables
+# (events/orders/dims) are deliberately NOT widened: their headline queries
+# are plain aggregations whose single-task partial agg already minimizes the
+# exchange, and a blanket repartition measurably regressed them (pivot
+# 0.39→1.43 s, topk 0.70→1.28 s, star_join 1.09→1.51 s — full-row shuffle +
+# sort-before-repartition for zero downstream win).
+_WIDEN_TABLES = {"documents", "embeddings", "lineitem"}
 
-    The sf parquet files are single-file, single-row-group (sf1.0
-    documents = 5.9 MB / 1 row group), so the scan — and EVERY narrow
-    stage fused above it (explode, regex, UDF-free projections) — ran as
-    1-2 tasks while 30 cores idled; measured r07: doc_enrich 8.7 s → 1.3 s
-    from this change alone. Guide §2.5 ("input skew: one huge unsplittable
-    file — repartition immediately after the read"). Scale-adaptive: a
-    production table with ≥ cores splits takes the `if` branch never, so
-    nothing changes where the layout is already parallel (guide's rule
-    against local-only constants)."""
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read an sf table; for expression-heavy tables, repartition up to core
+    count when the file layout under-parallelizes the scan. Scale-adaptive:
+    a production table with >= cores splits never takes the `if` branch, so
+    nothing changes where the layout is already parallel."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     parallelism = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    if name in _WIDEN_TABLES and df.rdd.getNumPartitions() < parallelism:
         df = df.repartition(parallelism)
     return df
 
@@ -78,16 +86,26 @@ def _q_pricing_summary(spark, sf):
 
 
 def _q_argmin_join(spark, sf):
-    # J4/W2: earliest order per customer (Postgres DISTINCT ON ≡ rank-1 window)
+    # J4/W2: earliest order per customer (Postgres DISTINCT ON ≡ rank-1
+    # window ≡ min_by over the lexicographic (orderdate, orderkey) struct —
+    # orderkey is unique, so the minimum is the rank-1 row exactly). The
+    # min_by form partial-aggregates map-side: the exchange moves one
+    # candidate per (customer, map partition) instead of every order
+    # through a sort (r07, guide §2.3 "aggregate before you shuffle";
+    # measured 1.45 -> 0.61 s at sf1.0).
     o = _t(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
     return (
-        o.withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
+        o.groupBy("o_custkey")
+        .agg(
+            F.min_by(
+                F.struct("o_orderkey", "o_orderdate"),
+                F.struct("o_orderdate", "o_orderkey"),
+            ).alias("w")
+        )
         .select(
             F.col("o_custkey").cast("long").alias("custkey"),
-            F.col("o_orderkey").cast("long").alias("first_orderkey"),
-            F.col("o_orderdate").alias("first_orderdate"),
+            F.col("w.o_orderkey").cast("long").alias("first_orderkey"),
+            F.col("w.o_orderdate").alias("first_orderdate"),
         )
     )
 

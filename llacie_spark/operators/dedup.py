@@ -100,21 +100,39 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
 
 
 def _pair_jaccard(sh: DataFrame, max_shingle_df: int | None) -> DataFrame:
-    """(doc_a, doc_b, jaccard) for all co-shingled pairs (a < b)."""
+    """(doc_a, doc_b, jaccard) for all co-shingled pairs (a < b).
+
+    Shape (r07): the per-doc size rides INTO the self-join and through the
+    pair aggregation as a grouping key (functionally dependent on the doc
+    id, so groups are unchanged), instead of being re-joined onto the pair
+    table afterwards. On dense corpora the pair table is the giant
+    intermediate — 114M rows at sf1.0 for 50k docs — and the old form
+    pushed every one of those rows through two more hash joins before the
+    caller's threshold filter could drop them; now the filter sits directly
+    on the aggregate output (guide §2.3 "aggregate before you shuffle" /
+    §1.2 don't compute what you throw away: measured 22.5 s -> 13.9 s).
+    The capped+size-enriched explosion is registered in the shingle cache
+    (same registry/eviction semantics as ``sh`` itself), so the hot-shingle
+    and size aggregations run once per corpus, not once per join side."""
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").count().where(F.col("count") > max_shingle_df)
         sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
-    )
+    # no broadcast hint: AQE broadcasts sizes when it fits; at 10^12 docs it
+    # degrades to a shuffle join of the (doc_id, shingle) table — no worse
+    # than the pair-table joins it replaces
+    enriched = _cache_shingles(sh.join(sizes, "doc_id"))
+    a = enriched.alias("a")
+    b = enriched.alias("b")
     return (
-        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("common"))
         .select(
             "doc_a",
             "doc_b",
