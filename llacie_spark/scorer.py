@@ -215,6 +215,7 @@ _NIV = re.compile(r"\b(non-?rebreather|BiPAP|CPAP|NIPPV|NPPV)\b", re.I)
 _MEASURED_VITALS = re.compile(r"\b(EMS|ED|triage|arrival|found|vitals)\b", re.I)
 
 _SENT_SPLIT = re.compile(r"(?<=[.!?])\s+(?=[A-Z\"'(])")
+_PARENTHETICAL = re.compile(r"\([^)]*\)")
 
 _URINARY_CONTEXT = re.compile(r"\b(urin|void|dysuria|bladder|urethral|uti)\w*", re.I)
 
@@ -238,11 +239,18 @@ _RECENT_WOUND = re.compile(
 )
 
 
+# one boolean scan gates the abbreviation subs (same pattern alternatives as
+# _ABBREVIATIONS minus the expansion-only differences): most notes contain no
+# shorthand, and 5 full sub() scans per doc showed in the r07 profile
+_ABBREV_ANY = re.compile(r"\bN/V(/D)?\b|\bSOB\b|\bAMS\b|\bw/o\b", re.I)
+
+
 def normalize_text(text: str) -> str:
     for bad, good in _UNICODE_FIXES.items():
         text = text.replace(bad, good)
-    for pat, repl in _ABBREVIATIONS:
-        text = pat.sub(repl, text)
+    if _ABBREV_ANY.search(text):
+        for pat, repl in _ABBREVIATIONS:
+            text = pat.sub(repl, text)
     return text
 
 
@@ -308,10 +316,19 @@ def _reorder_sites(text: str) -> str:
 
 _PITTING = re.compile(r"\bpitting edema\b", re.I)
 # precompiled (site-class, symptom-class) adjacency rewrites — built once;
-# rebuilding these f-string patterns per call dominated the scorer profile
-_ADJACENT_RULES = [
-    (re.compile(rf"\b(?:{pat})\b\s+(?:{syms})\b", re.I), f"{cls} {repl}")
-    for cls, pat in _SITE_CLASS.items()
+# rebuilding these f-string patterns per call dominated the scorer profile.
+# Grouped by symptom class with one guard regex each (r07): a rule whose
+# symptom words are absent from the segment cannot match, so skipping its
+# whole group is an exact no-op — the old flat loop ran all 18 subs whenever
+# ANY symptom word was present (~19 regex scans per _collect in the profile).
+_ADJACENT_GROUPS = [
+    (
+        re.compile(rf"\b(?:{syms})\b", re.I),
+        [
+            (re.compile(rf"\b(?:{pat})\b\s+(?:{syms})\b", re.I), f"{cls} {repl}")
+            for cls, pat in _SITE_CLASS.items()
+        ],
+    )
     for syms, repl in (("edema|swelling", "swelling"), ("pain|ache", "pain"), ("ulcer|wound", "wound"))
 ]
 
@@ -327,8 +344,10 @@ def _normalize_adjacent_sites(text: str) -> str:
     if not _ADJACENT_GUARD.search(text):
         return text
     t = _PITTING.sub("edema", text)
-    for pat, repl in _ADJACENT_RULES:
-        t = pat.sub(repl, t)
+    for guard, rules in _ADJACENT_GROUPS:
+        if guard.search(t):
+            for pat, repl in rules:
+                t = pat.sub(repl, t)
     return t
 
 
@@ -361,9 +380,11 @@ class GazetteerScorer:
 
     def score_one(self, text: str) -> list[str]:
         text = normalize_text(text)
-        text = re.sub(r"\([^)]*\)", " ", text)  # parentheticals are asides
+        text = _PARENTHETICAL.sub(" ", text)  # parentheticals are asides
         mentions: list[str] = []
         self._covered: set[str] = set()
+        self._site_key: str | None = None  # per-doc _sentence_site memo
+        self._site_val: str | None = None
 
         for raw_sentence in _SENT_SPLIT.split(text):
             sentence = raw_sentence.strip()
@@ -490,7 +511,13 @@ class GazetteerScorer:
         segment = _SPECULATION.sub(" ", segment)
         # exposures are never presenting symptoms ("neighbor with bad cold")
         segment = _EXPOSURE_CUT.sub("", segment)
-        site = _sentence_site(sentence)
+        # one-entry memo: several _collect calls share one sentence (multiple
+        # cue matches), and _sentence_site was ~8% of the r07 scorer profile
+        if sentence == self._site_key:
+            site = self._site_val
+        else:
+            site = _sentence_site(sentence)
+            self._site_key, self._site_val = sentence, site
         if _BECAME_PAINFUL.search(segment) and site in ("leg", "arm"):
             segment = _BECAME_PAINFUL.sub(" ", segment)
             self._add(mentions, f"{site} pain")

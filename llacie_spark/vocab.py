@@ -140,19 +140,26 @@ class Vocab:
         """
         lines = feature_value.split("\n")
         found: dict[str, int] = {}
+        # index-based scan (r07): same greedy longest-first walk, but the
+        # cursor advances by index instead of repeatedly re-slicing/popping
+        # the token list (tokens[n:] / pop(0) were O(line length) each)
+        dicts = self.ngram_dicts
+        max_n = len(dicts)
         for line_no in range(len(lines) - 1, -1, -1):
             tokens = self.tokenize_line(lines[line_no])
-            while tokens:
+            n_tok = len(tokens)
+            pos = 0
+            while pos < n_tok:
                 hit = None
-                for i, d in enumerate(self.ngram_dicts):
-                    n = len(self.ngram_dicts) - i
-                    hit = d.get(tuple(tokens[0:n]))
+                for i, d in enumerate(dicts):
+                    n = max_n - i
+                    hit = d.get(tuple(tokens[pos : pos + n]))
                     if hit is None:
                         continue
                     for term in hit:
                         found[term] = line_no + 1
-                    tokens = tokens[n:]
+                    pos += n
                     break
                 if hit is None:
-                    tokens.pop(0)
+                    pos += 1
         return found
