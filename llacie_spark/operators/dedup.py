@@ -99,7 +99,9 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
     return with_toks.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
-def _pair_jaccard(sh: DataFrame, max_shingle_df: int | None) -> DataFrame:
+def _pair_jaccard(
+    sh: DataFrame, max_shingle_df: int | None, threshold: float | None = None
+) -> DataFrame:
     """(doc_a, doc_b, jaccard) for all co-shingled pairs (a < b).
 
     Shape (r07): the per-doc size rides INTO the self-join and through the
@@ -124,8 +126,21 @@ def _pair_jaccard(sh: DataFrame, max_shingle_df: int | None) -> DataFrame:
     enriched = _cache_shingles(sh.join(sizes, "doc_id"))
     a = enriched.alias("a")
     b = enriched.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    if threshold is not None and threshold > 0:
+        # size-compatibility prune (exact): J(A,B) >= t implies
+        # common >= t*(|A|+|B|)/(1+t) and common <= min(|A|,|B|), so
+        # (1+t)*min >= t*(|A|+|B|) is necessary — incompatible pairs can
+        # never survive the final filter and are dropped BEFORE the pair
+        # aggregation (the giant intermediate). The 1e-9 slack keeps float
+        # rounding from dropping an exact-boundary pair.
+        t = float(threshold)
+        cond = cond & (
+            (1.0 + t) * F.least(F.col("a.sz"), F.col("b.sz"))
+            >= t * (F.col("a.sz") + F.col("b.sz")) - 1e-9
+        )
     return (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, cond)
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -155,7 +170,9 @@ def jaccard_pairs(
     index self-join is quadratic in per-shingle document frequency and a hot
     stopword shingle melts a reducer at scale."""
     sh = _cache_shingles(shingles(df, id_col, text_col, n))  # sizes + both join sides
-    return _pair_jaccard(sh, max_shingle_df).where(F.col("jaccard") >= threshold)
+    return _pair_jaccard(sh, max_shingle_df, threshold=threshold).where(
+        F.col("jaccard") >= threshold
+    )
 
 
 # ------------------------------------------------------------------- minhash
