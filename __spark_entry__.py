@@ -55,6 +55,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _embedding_dim(spark: SparkSession, sf_dir: str) -> int:
+    """Vector dimension probe from the RAW file (one-row read) — probing the
+    post-_t table paid the widening repartition shuffle just to fetch a row."""
+    return len(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("embedding").first()[0]
+    )
+
+
 # ---------------------------------------------------------------- flagship
 
 
@@ -385,7 +393,7 @@ def _q_knn_bruteforce(spark, sf):
     # dim probe costs one single-row read; it unlocks the unrolled codegen
     # cosine (bit-identical, ~10x cheaper than the interpreted HOF form)
     out = similarity.brute_force_topk(
-        queries, emb, k=10, dim=len(emb.select("embedding").first()[0])
+        queries, emb, k=10, dim=_embedding_dim(spark, sf)
     )
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -407,7 +415,7 @@ def _q_ivf_fullprobe(spark, sf):
     queries = emb.where("vec_id < 10")
     out = similarity.ivf_topk(
         queries, emb, k=10, n_centroids=16, n_probe=16,
-        dim=len(emb.select("embedding").first()[0]),
+        dim=_embedding_dim(spark, sf),
     )
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -431,7 +439,7 @@ def _q_ivf_pq(spark, sf):
     queries = emb.where("vec_id < 10")
     out = similarity.ivf_pq_topk(
         queries, emb, k=10, n_centroids=16, n_probe=16, m=8, n_codes=16,
-        refine=None, dim=len(emb.select("embedding").first()[0]),
+        refine=None, dim=_embedding_dim(spark, sf),
     )
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -456,7 +464,7 @@ def _q_embed_neardup(spark, sf):
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     corpus = emb.select("vec_id", "embedding").unionByName(clones)
-    dim = len(emb.select("embedding").first()[0])
+    dim = _embedding_dim(spark, sf)
     out = similarity.embedding_cosine_pairs(corpus, threshold=0.9999, dim=dim)
     return out.select(
         F.col("vec_a").cast("long").alias("vec_a"),
@@ -467,7 +475,7 @@ def _q_embed_neardup(spark, sf):
 
 def _q_embed_stats(spark, sf):
     emb = _t(spark, sf, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    dim = _embedding_dim(spark, sf)
     return (
         emb.groupBy(F.col("label").cast("long").alias("label"))
         .agg(
