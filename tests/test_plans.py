@@ -57,9 +57,20 @@ def test_fused_pipeline_single_python_node(spark, vocab):
 
 
 def test_whole_stage_codegen_on_textstats(spark, entrymod):
-    # the "*(n)" prefix marks operators inside a WholeStageCodegen span
-    plan = plan_of(entrymod.queries()["token_stats"](spark, SF))
-    assert plan.startswith("*(1) Project")
+    # the "*(n)" prefix marks operators inside a WholeStageCodegen span.
+    # Since r07 a widening Exchange may sit under the projection when the
+    # file layout yields fewer scan splits than cores (single-row-group sf
+    # files), so the codegen'd Project is no longer necessarily the root —
+    # the invariant is that the textstats projection IS codegen'd and no
+    # Python evaluation node exists anywhere in the plan.
+    import re
+
+    df = entrymod.queries()["token_stats"](spark, SF)
+    # the exchange makes the plan adaptive, and AQE only materializes the
+    # codegen'd final plan after execution — run it, then read the plan
+    df.write.format("noop").mode("overwrite").save()
+    plan = plan_of(df)
+    assert re.search(r"\*\(\d+\) Project", plan), plan.splitlines()[0]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
