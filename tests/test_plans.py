@@ -67,8 +67,9 @@ def test_whole_stage_codegen_on_textstats(spark, entrymod):
 
     df = entrymod.queries()["token_stats"](spark, SF)
     # the exchange makes the plan adaptive, and AQE only materializes the
-    # codegen'd final plan after execution — run it, then read the plan
-    df.write.format("noop").mode("overwrite").save()
+    # codegen'd final plan after execution — collect() executes THIS
+    # DataFrame's own QueryExecution (a write would wrap it in a new one)
+    df.collect()
     plan = plan_of(df)
     assert re.search(r"\*\(\d+\) Project", plan), plan.splitlines()[0]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
