@@ -40,7 +40,20 @@ DEFAULT_SF = "/root/testdata/sf0.001"
 # exchange, and a blanket repartition measurably regressed them (pivot
 # 0.39→1.43 s, topk 0.70→1.28 s, star_join 1.09→1.51 s — full-row shuffle +
 # sort-before-repartition for zero downstream win).
-_WIDEN_TABLES = {"documents", "embeddings", "lineitem"}
+#
+# The value is a minimum input size in bytes: below it the repartition
+# exchange costs more than the single-task work it parallelizes (measured at
+# sf0.1: widening the 0.6 MB embeddings file took knn_bruteforce
+# 0.69 -> 1.37 s and the 13 MB lineitem took window_max 0.60 -> 1.02 s,
+# while the same widens are 2-5x WINS at sf1.0 where those files are
+# 5.9 MB / 131 MB). documents is 0: its queries do regex work per byte heavy
+# enough that widening pays even at 1.7 MB (doc_enrich 1.15 -> 0.43 s at
+# sf0.1).
+_WIDEN_TABLES = {
+    "documents": 0,
+    "embeddings": 2 << 20,
+    "lineitem": 32 << 20,
+}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -49,8 +62,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     a production table with >= cores splits never takes the `if` branch, so
     nothing changes where the layout is already parallel."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    min_bytes = _WIDEN_TABLES.get(name)
+    if min_bytes is None:
+        return df
+    path = Path(sf_dir) / f"{name}.parquet"
+    size = (
+        sum(f.stat().st_size for f in path.rglob("*.parquet"))
+        if path.is_dir()
+        else path.stat().st_size
+    )
     parallelism = spark.sparkContext.defaultParallelism
-    if name in _WIDEN_TABLES and df.rdd.getNumPartitions() < parallelism:
+    if size >= min_bytes and df.rdd.getNumPartitions() < parallelism:
         df = df.repartition(parallelism)
     return df
 
@@ -390,11 +412,7 @@ def _q_simhash_pairs(spark, sf):
 def _q_knn_bruteforce(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.where("vec_id < 10")
-    # dim probe costs one single-row read; it unlocks the unrolled codegen
-    # cosine (bit-identical, ~10x cheaper than the interpreted HOF form)
-    out = similarity.brute_force_topk(
-        queries, emb, k=10, dim=_embedding_dim(spark, sf)
-    )
+    out = similarity.brute_force_topk(queries, emb, k=10)
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
@@ -475,12 +493,11 @@ def _q_embed_neardup(spark, sf):
 
 def _q_embed_stats(spark, sf):
     emb = _t(spark, sf, "embeddings")
-    dim = _embedding_dim(spark, sf)
     return (
         emb.groupBy(F.col("label").cast("long").alias("label"))
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.round(F.avg(similarity.norm(F.col("embedding"), dim)), 4).alias("avg_norm"),
+            F.round(F.avg(similarity.norm(F.col("embedding"))), 4).alias("avg_norm"),
         )
     )
 

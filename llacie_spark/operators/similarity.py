@@ -28,20 +28,12 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Sequential-order double dot product.
-
-    With ``dim`` given, the sum is unrolled into a flat codegen-friendly
-    expression chain ``((0.0 + a1*b1) + a2*b2) + ...`` — bit-identical to
-    the higher-order ``aggregate`` form (same IEEE additions in the same
-    left-to-right order, starting from 0.0) but ~10x faster: the HOF
-    expressions are CodegenFallback and were interpreted per element
-    (r07 measurement, OPTIMIZATION_r07.md §knn_bruteforce)."""
-    if dim is not None:
-        expr = F.lit(0.0)
-        for j in range(1, dim + 1):
-            expr = expr + F.element_at(a, j).cast("double") * F.element_at(b, j).cast("double")
-        return expr
+def dot(a: Column, b: Column) -> Column:
+    # An unrolled element_at chain was tried in r07 and reverted: measured
+    # bit-identical but no faster at sf1.0 (2.85 vs 2.91 s) and slower at
+    # sf0.1 (0.40 vs 0.59 s) — the 128-term expression tree loses codegen
+    # and evaluates interpreted, worse than the HOF loop. Scan parallelism
+    # (the _t widen), not the cosine form, was knn's actual bottleneck.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -49,13 +41,7 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
-def norm(a: Column, dim: int | None = None) -> Column:
-    if dim is not None:
-        expr = F.lit(0.0)
-        for j in range(1, dim + 1):
-            x = F.element_at(a, j).cast("double")
-            expr = expr + x * x
-        return F.sqrt(expr)
+def norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -65,8 +51,8 @@ def norm(a: Column, dim: int | None = None) -> Column:
     )
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
 
 
 def brute_force_topk(
@@ -75,7 +61,6 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query row.
 
@@ -90,7 +75,7 @@ def brute_force_topk(
         F.broadcast(q)
         .crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv"), dim).alias("cos"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -111,12 +96,15 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     Planes are embedded as literals — pure JVM arithmetic, oracle-friendly."""
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
-        # unrolled dot against the literal plane: bit-identical to the
-        # zip_with/aggregate form (same IEEE op order from 0.0) without the
-        # interpreted-HOF cost (r07; see operators-level note on dot())
-        d = F.lit(0.0)
-        for j, w in enumerate(plane, start=1):
-            d = d + F.element_at(vec_col, j).cast("double") * F.lit(float(w))
+        d = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(w)) for w in plane]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
         bucket = bucket + F.when(d >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket
 
@@ -177,7 +165,7 @@ def ann_lsh_topk(
             F.broadcast(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))),
             "query_id",
         )
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv"), dim).alias("cos"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -211,7 +199,7 @@ def embedding_cosine_pairs(
         .select(
             F.col("l.vid").alias("vec_a"),
             F.col("r.vid").alias("vec_b"),
-            cosine(F.col("l.v"), F.col("r.v"), dim).alias("cos"),
+            cosine(F.col("l.v"), F.col("r.v")).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )
@@ -315,7 +303,7 @@ def ivf_topk(
     scored = (
         q_probes.join(c_assigned, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv"), dim).alias("cos"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -497,7 +485,7 @@ def ivf_pq_topk(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
         "neighbor_id",
     ).select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv"), dim).alias("cos")
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()

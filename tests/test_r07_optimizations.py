@@ -14,7 +14,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from llacie_spark.operators import textstats
-from llacie_spark.operators.similarity import cosine, dot, lsh_bucket, norm
 
 
 # --------------------------------------------------------------- textstats
@@ -84,57 +83,6 @@ def test_avg_token_len_and_punct_ratio_match_replace_forms(spark):
                 assert g[f] is None or math.isnan(g[f])
             else:
                 assert g[f] == w[f], (g["i"], f, g[f], w[f])
-
-
-# -------------------------------------------------------------- similarity
-
-
-def test_unrolled_cosine_bit_identical_to_hof(spark):
-    rng = random.Random(7)
-    dim = 16
-    rows = [(i, [rng.uniform(-2, 2) for _ in range(dim)]) for i in range(64)]
-    df = spark.createDataFrame(rows, ["id", "v"]).withColumn(
-        "v", F.col("v").cast("array<float>")
-    )
-    pairs = df.alias("a").crossJoin(df.alias("b")).limit(512)
-    hof = pairs.select(
-        cosine(F.col("a.v"), F.col("b.v")).alias("c"),
-        dot(F.col("a.v"), F.col("b.v")).alias("d"),
-        norm(F.col("a.v")).alias("n"),
-    ).collect()
-    unrolled = pairs.select(
-        cosine(F.col("a.v"), F.col("b.v"), dim).alias("c"),
-        dot(F.col("a.v"), F.col("b.v"), dim).alias("d"),
-        norm(F.col("a.v"), dim).alias("n"),
-    ).collect()
-    # bit-identical, not approximately equal: same IEEE ops in the same order
-    for h, u in zip(hof, unrolled):
-        assert h == u
-
-
-def test_lsh_bucket_unrolled_matches_reference(spark):
-    rng = random.Random(11)
-    dim, n_planes = 8, 6
-    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
-    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(200)]
-    df = spark.createDataFrame(rows, ["id", "v"]).withColumn(
-        "v", F.col("v").cast("array<float>")
-    )
-    got = {r["id"]: r["b"] for r in df.select("id", lsh_bucket(F.col("v"), planes).alias("b")).collect()}
-    # python reference with the same sequential double accumulation
-    import struct
-
-    for i, v in rows:
-        acc_bucket = 0
-        # float32 storage cast first, then double math, sequential order
-        v32 = [struct.unpack("f", struct.pack("f", x))[0] for x in v]
-        for p, plane in enumerate(planes):
-            d = 0.0
-            for x, w in zip(v32, plane):
-                d = d + x * float(w)
-            if d >= 0:
-                acc_bucket += 1 << p
-        assert got[i] == acc_bucket, i
 
 
 # -------------------------------------------------------------------- dedup
