@@ -206,6 +206,10 @@ def minhash_candidate_pairs(
     docs sharing any band chunk become a candidate pair. Shuffle key =
     (band_id, chunk hash) — O(docs × bands) rows, never O(pairs)."""
     rows_per_band = num_hashes // bands
+    # see simhash_pairs: both self-join sides reference the signature
+    # aggregation and exchange reuse does not fire across a broadcast side —
+    # checkpoint one row per doc instead of computing the signatures twice
+    signatures = signatures.localCheckpoint(eager=False)
     banded = signatures.select(
         "doc_id",
         F.posexplode(
@@ -331,7 +335,16 @@ def simhash_pairs(
     distance k agrees on at least one chunk, so candidates come from k+1
     equi-joins (one shuffle each on a chunk-width key), then exact
     verification with bit_count(xor)."""
-    sigs = simhash(df, id_col, text_col, bits=bits, token_hash=token_hash)
+    # lazy local checkpoint: both sides of the banding self-join reference
+    # the signature pipeline, and Spark's exchange reuse does not fire when
+    # one side is broadcast — without this the token explode + hash + 60-sum
+    # aggregation ran TWICE per query (r07 plan audit: the subtree appears
+    # at operators 3-10 and 13-20 of the r06 plan, no ReusedExchange). The
+    # checkpoint materializes one (doc_id, simhash) row per doc at first
+    # action — per-run, not cross-run — same pattern as the CC iteration.
+    sigs = simhash(df, id_col, text_col, bits=bits, token_hash=token_hash).localCheckpoint(
+        eager=False
+    )
     chunks = max_hamming + 1
     width = bits // chunks
     banded = sigs.select(
@@ -348,7 +361,12 @@ def simhash_pairs(
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    cands = (
+    # hamming is a pure function of the pair, so filtering BEFORE the
+    # duplicate-elimination is exact and the distinct shuffles only the
+    # pairs that already passed the threshold (a pair colliding in several
+    # chunks appears several times; the old order shuffled every candidate
+    # with both signature columns through the distinct first)
+    return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
@@ -358,16 +376,11 @@ def simhash_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
+        .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return cands.select(
-        "doc_a",
-        "doc_b",
-        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
-    ).where(F.col("hamming") <= max_hamming)
 
 
 def dedup_keep_best(
