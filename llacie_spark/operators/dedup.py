@@ -263,9 +263,22 @@ def minhash_dedup_pairs(
     sh = _cache_shingles(shingles(df, id_col, text_col, n))
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles_df=sh)
     cands = minhash_candidate_pairs(sigs, num_hashes, bands)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("shingle_b"))
+    # verification and sizes only ever read CANDIDATE docs' shingles, so
+    # restrict the explosion to them once (r07): one semi-join pass over the
+    # cached explosion, lazily checkpointed so the verification's two join
+    # sides and the size aggregate share it instead of each re-scanning the
+    # full table (measured: verification was ~1.5 s of the 2.6 s query for
+    # ~25 surviving pairs at sf1.0). Exact: pairs are formed from cands, so
+    # non-candidate docs cannot contribute rows to any output.
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(cand_docs, "doc_id", "left_semi").localCheckpoint(eager=False)
+    sizes = sh_cand.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sh_a = sh_cand.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh_cand.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("shingle_b"))
     common = (
         cands.join(sh_a, "doc_a")
         .join(sh_b, (F.col("doc_b") == F.col("doc_b2")) & (F.col("shingle") == F.col("shingle_b")))
