@@ -238,6 +238,38 @@ _RECENT_WOUND = re.compile(
     r"\brecent\s+((?:[a-z-]+\s+){0,2}(?:ulcer|wound|laceration|abscess))\b", re.I
 )
 
+# Union gate over every pattern through which a sentence can produce a
+# mention (r07): _add is reachable only via _RECENT_WOUND, _infer_global
+# (TEMP/RR/NIV), the care path's REASON/WORSENED_TAIL/NOTED (NOTED's verbs
+# are a subset of _CUE), or the affirm path's HR/SAT/O2NEED/REASON/CUE. A
+# sentence with no gate match can therefore add nothing and mutate no
+# state, so skipping it wholesale is exact. The gate runs on the RAW
+# sentence, which over-approximates the stripped variants the components
+# see: _strip_denials joins surviving pieces with a space and
+# _SPECULATION.sub stops before a [,.;] delimiter, so neither can create a
+# trigger token that the raw sentence lacked. Measured: 55% of corpus
+# sentences skip, each saving ~10 pattern scans.
+_SENTENCE_GATE = re.compile(
+    "|".join(
+        f"(?:{p.pattern})"
+        for p in (
+            _RECENT_WOUND,
+            _VITALS_TEMP,
+            _VITALS_RR,
+            _NIV,
+            _VITALS_HR,
+            _VITALS_SAT,
+            _O2_NEED,
+            _REASON,
+            _CUE,
+            _WORSENED_TAIL,
+        )
+    ),
+    re.I,
+)
+
+
+
 
 # one boolean scan gates the abbreviation subs (same pattern alternatives as
 # _ABBREVIATIONS minus the expansion-only differences): most notes contain no
@@ -390,6 +422,8 @@ class GazetteerScorer:
             sentence = raw_sentence.strip()
             if not sentence:
                 continue
+            if not _SENTENCE_GATE.search(sentence):
+                continue  # cannot produce a mention — see _SENTENCE_GATE
             for m in _RECENT_WOUND.finditer(sentence):
                 self._collect(m.group(1), sentence, mentions)
             sentence = _strip_denials(sentence)
