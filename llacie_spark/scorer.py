@@ -277,9 +277,13 @@ _SENTENCE_GATE = re.compile(
 _ABBREV_ANY = re.compile(r"\bN/V(/D)?\b|\bSOB\b|\bAMS\b|\bw/o\b", re.I)
 
 
+# every fix maps one char to one char, so a single translate() pass is
+# exactly the nine sequential replace() scans (disjoint keys; r07)
+_UNICODE_TRANSLATE = str.maketrans(_UNICODE_FIXES)
+
+
 def normalize_text(text: str) -> str:
-    for bad, good in _UNICODE_FIXES.items():
-        text = text.replace(bad, good)
+    text = text.translate(_UNICODE_TRANSLATE)
     if _ABBREV_ANY.search(text):
         for pat, repl in _ABBREVIATIONS:
             text = pat.sub(repl, text)
@@ -545,16 +549,19 @@ class GazetteerScorer:
         segment = _SPECULATION.sub(" ", segment)
         # exposures are never presenting symptoms ("neighbor with bad cold")
         segment = _EXPOSURE_CUT.sub("", segment)
-        # one-entry memo: several _collect calls share one sentence (multiple
-        # cue matches), and _sentence_site was ~8% of the r07 scorer profile
-        if sentence == self._site_key:
-            site = self._site_val
-        else:
-            site = _sentence_site(sentence)
-            self._site_key, self._site_val = sentence, site
-        if _BECAME_PAINFUL.search(segment) and site in ("leg", "arm"):
+        # lazy, one-entry-memoized site: most segments never branch on the
+        # sentence site (r07 profile: _sentence_site was ~7% while only the
+        # rare BECAME_PAINFUL/BLACKENING/site-symptom branches consume it),
+        # so the _ANY_SITE scan runs only when a consumer actually asks
+        def site_of():
+            if sentence != self._site_key:
+                self._site_key = sentence
+                self._site_val = _sentence_site(sentence)
+            return self._site_val
+
+        if _BECAME_PAINFUL.search(segment) and site_of() in ("leg", "arm"):
             segment = _BECAME_PAINFUL.sub(" ", segment)
-            self._add(mentions, f"{site} pain")
+            self._add(mentions, f"{site_of()} pain")
         if self._SPECIALS_ANY.search(segment):
             for pat, repl in self._SPECIALS:
                 if pat.search(segment):
@@ -563,7 +570,7 @@ class GazetteerScorer:
         if _URGENCY.search(segment) and _URINARY_CONTEXT.search(sentence):
             segment = _URGENCY.sub(" ", segment)
             self._add(mentions, "urinary urgency")
-        if _BLACKENING.search(segment) and site == "foot":
+        if _BLACKENING.search(segment) and site_of() == "foot":
             self._add(mentions, "foot wound")
 
         segment = _reorder_sites(segment)
@@ -593,13 +600,13 @@ class GazetteerScorer:
             # "throbbing pain" names the located pain when a limb is in
             # scope, otherwise the quality itself is the symptom
             if item == "throbbing pain":
-                item = f"{site} pain" if site in ("leg", "arm") else "throbbing"
+                item = f"{site_of()} pain" if site_of() in ("leg", "arm") else "throbbing"
                 if item == "throbbing" and any("pain" in c for c in self._covered):
                     continue  # pain already named; "throbbing" was its quality
             elif item in _SITE_SYMPTOMS and (
-                site in ("leg", "arm") or (site == "foot" and item == "wound")
+                site_of() in ("leg", "arm") or (site_of() == "foot" and item == "wound")
             ):
-                item = f"{site} {item}"
+                item = f"{site_of()} {item}"
             self._add(mentions, item)
 
     def _add(self, mentions: list[str], item: str) -> None:
